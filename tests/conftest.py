@@ -1,0 +1,23 @@
+"""Test config: run everything on CPU with 8 virtual devices.
+
+Mirrors the reference's kernel-equivalence test strategy (SURVEY.md §4) but
+adds what it lacked: CPU-runnable multi-device tests via XLA host-platform
+device spoofing, so sharding code is exercised without a TPU pod.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
