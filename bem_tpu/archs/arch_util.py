@@ -1,0 +1,198 @@
+"""Shared arch building blocks.
+
+Parity: basicsr/archs/arch_util.py (SAM:353, DB:326, CSAF:301, conv_relu:276)
+and basicsr/archs/UNet_arch.py helpers (conv_down:54, PatchMerging:58,
+deconv_up:85, DualUpSample:97, LN2DLinear:158). Channels-last.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn import init as inits
+from ..nn.layers import (
+    Conv2d,
+    ConvTranspose2d,
+    LayerNorm2d,
+    PReLU,
+    pixel_shuffle,
+)
+from ..ops.resize import resize_bilinear
+
+
+class ConvDown(nn.Module):
+    """conv_down: 4x4 stride-2 conv doubling channels (UNet_arch.py:54-55)."""
+
+    in_channels: int
+    bayesian: bool = False
+    sigma_init: float = 0.05
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv2d(
+            self.in_channels * 2, kernel_size=4, strides=2, padding=1,
+            use_bias=False, bayesian=self.bayesian, sigma_init=self.sigma_init,
+            name="conv",
+        )(x)
+
+
+class PatchMerging(nn.Module):
+    """2x2 space-to-channel + LN + 1x1 reduction (UNet_arch.py:58-82)."""
+
+    dim: int
+    bayesian: bool = False
+    sigma_init: float = 0.05
+
+    @nn.compact
+    def __call__(self, x):
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = LayerNorm2d(name="norm")(x)
+        return Conv2d(
+            2 * self.dim, kernel_size=1, padding=0, use_bias=False,
+            bayesian=self.bayesian, sigma_init=self.sigma_init, name="reduction",
+        )(x)
+
+
+class DeconvUp(nn.Module):
+    """deconv_up: 2x2 stride-2 transposed conv halving channels (UNet_arch.py:85-93)."""
+
+    in_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return ConvTranspose2d(self.in_channels // 2, kernel_size=2, strides=2,
+                               name="deconv")(x)
+
+
+class DualUpSample(nn.Module):
+    """Dual pixel-shuffle + bilinear upsample path (UNet_arch.py:97-155)."""
+
+    in_channels: int
+    scale_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.in_channels
+        f = self.scale_factor
+        if f == 2:
+            # pixel-shuffle path
+            xp = Conv2d(2 * c, 1, padding=0, use_bias=False, name="up_p_conv1")(x)
+            xp = PReLU(name="up_p_prelu")(xp)
+            xp = pixel_shuffle(xp, 2)
+            xp = Conv2d(c // 2, 1, padding=0, use_bias=False, name="up_p_conv2")(xp)
+            # bilinear path
+            xb = Conv2d(c, 1, padding=0, name="up_b_conv1")(x)
+            xb = PReLU(name="up_b_prelu")(xb)
+            xb = resize_bilinear(xb, scale=2.0)
+            xb = Conv2d(c // 2, 1, padding=0, use_bias=False, name="up_b_conv2")(xb)
+            out = Conv2d(c // 2, 1, padding=0, use_bias=False, name="conv")(
+                jnp.concatenate([xp, xb], axis=-1)
+            )
+        elif f == 4:
+            xp = Conv2d(16 * c, 1, padding=0, use_bias=False, name="up_p_conv1")(x)
+            xp = PReLU(name="up_p_prelu")(xp)
+            xp = pixel_shuffle(xp, 4)
+            xp = Conv2d(c, 1, padding=0, use_bias=False, name="up_p_conv2")(xp)
+            xb = Conv2d(c, 1, padding=0, name="up_b_conv1")(x)
+            xb = PReLU(name="up_b_prelu")(xb)
+            xb = resize_bilinear(xb, scale=4.0)
+            xb = Conv2d(c, 1, padding=0, use_bias=False, name="up_b_conv2")(xb)
+            out = Conv2d(c, 1, padding=0, use_bias=False, name="conv")(
+                jnp.concatenate([xp, xb], axis=-1)
+            )
+        else:
+            raise NotImplementedError(f"scale_factor={f}")
+        return out
+
+
+class LN2DLinear(nn.Module):
+    """LayerNorm + zero-init 1x1 conv (UNet_arch.py:158-176)."""
+
+    out_channels: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = LayerNorm2d(name="norm")(x)
+        return Conv2d(self.out_channels, 1, padding=0, use_bias=self.use_bias,
+                      kernel_init=inits.zeros, name="linear")(x)
+
+
+class DB(nn.Module):
+    """Dilated dense block (arch_util.py:326-350)."""
+
+    in_channel: int
+    d_list: Sequence[int] = (1, 2, 3, 2, 1)
+    inter_num: int = 24
+
+    @nn.compact
+    def __call__(self, x):
+        t = x
+        for i, d in enumerate(self.d_list):
+            # dilated conv + relu, dense concat
+            _t = jax.lax.conv_general_dilated(
+                t,
+                self.param(
+                    f"conv{i}_kernel", inits.torch_default_kernel,
+                    (3, 3, t.shape[-1], self.inter_num),
+                ).astype(t.dtype),
+                window_strides=(1, 1),
+                padding=((d, d), (d, d)),
+                rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            _t = _t + self.param(
+                f"conv{i}_bias", inits.torch_default_bias(9 * t.shape[-1]),
+                (self.inter_num,),
+            ).astype(t.dtype)
+            _t = jax.nn.relu(_t)
+            t = jnp.concatenate([_t, t], axis=-1)
+        return Conv2d(self.in_channel, 1, padding=0, name="conv_post")(t)
+
+
+class CSAF(nn.Module):
+    """Cross-scale channel attention fusion (arch_util.py:301-323)."""
+
+    in_chnls: int  # = 3 * branch channels
+    ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x0, x2, x4):
+        sq = lambda t: jnp.mean(t, axis=(1, 2), keepdims=True)
+        out = jnp.concatenate([sq(x0), sq(x2), sq(x4)], axis=-1)
+        out = Conv2d(self.in_chnls // self.ratio, 1, padding=0, name="compress1")(out)
+        out = jax.nn.relu(out)
+        out = Conv2d(self.in_chnls // self.ratio, 1, padding=0, name="compress2")(out)
+        out = jax.nn.relu(out)
+        out = Conv2d(self.in_chnls, 1, padding=0, name="excitation")(out)
+        out = jax.nn.sigmoid(out)
+        w0, w2, w4 = jnp.split(out, 3, axis=-1)
+        return x0 * w0 + x2 * w2 + x4 * w4
+
+
+class SAM(nn.Module):
+    """Multi-scale dilated dense attention (arch_util.py:353-380)."""
+
+    in_channel: int
+    d_list: Sequence[int] = (1, 2, 3, 2, 1)
+    inter_num: int = 24
+
+    @nn.compact
+    def __call__(self, x):
+        x2 = resize_bilinear(x, scale=0.5)
+        x4 = resize_bilinear(x, scale=0.25)
+        y0 = DB(self.in_channel, self.d_list, self.inter_num, name="basic_block")(x)
+        y2 = DB(self.in_channel, self.d_list, self.inter_num, name="basic_block_2")(x2)
+        y4 = DB(self.in_channel, self.d_list, self.inter_num, name="basic_block_4")(x4)
+        y2 = resize_bilinear(y2, size=(x.shape[1], x.shape[2]))
+        y4 = resize_bilinear(y4, size=(x.shape[1], x.shape[2]))
+        y = CSAF(3 * self.in_channel, name="fusion")(y0, y2, y4)
+        return x + y

@@ -1,0 +1,205 @@
+"""`Network` — the BEM CG/IE U-Net of VSSBlocks.
+
+Parity: basicsr/archs/UNet_arch.py — BasicBlock:179, SubNetwork:245,
+Network:364. Channels-last NHWC. The ``bayesian`` flag replaces the
+reference's post-hoc convert2bnn_selective: SubNetwork's BasicBlocks carry
+``bayesian=True`` semantics (UNet_arch.py:294,309,326), so when the model is
+built with ``bayesian=True`` every conv/linear inside the VSS blocks becomes
+a reparameterized layer while first_conv/proj stay deterministic — the exact
+module set the reference converts (tools.py:48-63).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn import init as inits
+from ..nn.layers import Conv2d, DropPath
+from ..nn.vss import VSSBlock
+from ..utils.registry import ARCH_REGISTRY
+from .arch_util import ConvDown, DeconvUp, DualUpSample, PatchMerging, SAM
+
+
+class BasicBlock(nn.Module):
+    """num_blocks VSSBlocks (+ optional SAM) (UNet_arch.py:179-242)."""
+
+    dim: int
+    num_blocks: int = 2
+    d_state: int = 1
+    ssm_ratio: float = 1
+    mlp_ratio: float = 4
+    mlp_type: str = "gdmlp"
+    sam: bool = False
+    bayesian: bool = False
+    sigma_init: float = 0.05
+    scan_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_blocks):
+            x = VSSBlock(
+                hidden_dim=self.dim,
+                drop_path=0.0,
+                ssm_d_state=self.d_state,
+                ssm_ratio=self.ssm_ratio,
+                ssm_dt_rank="auto",
+                ssm_conv=3,
+                ssm_conv_bias=False,
+                ssm_init="v0",
+                forward_type="v05_noz",
+                mlp_ratio=self.mlp_ratio,
+                mlp_type=self.mlp_type,
+                bayesian=self.bayesian,
+                sigma_init=self.sigma_init,
+                scan_backend=self.scan_backend,
+                name=f"blocks_{i}",
+            )(x)
+            if self.sam:
+                x = SAM(self.dim, name=f"sam_blocks_{i}")(x)
+        return x
+
+
+class SubNetwork(nn.Module):
+    """Shallow U-Net of BasicBlocks with residual output (UNet_arch.py:245-361)."""
+
+    dim: int = 31
+    num_blocks: Sequence[int] = (2, 4, 4)
+    d_state: Union[int, Sequence[int]] = 1
+    ssm_ratio: float = 1
+    mlp_ratio: float = 4
+    mlp_type: str = "gdmlp"
+    use_pixelshuffle: bool = False
+    drop_path: float = 0.0
+    sam: bool = False
+    bayesian: bool = False
+    sigma_init: float = 0.05
+    scan_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        level = len(self.num_blocks) - 1
+        d_state = self.d_state
+        if isinstance(d_state, int):
+            d_state = [d_state] * len(self.num_blocks)
+
+        common = dict(
+            ssm_ratio=self.ssm_ratio,
+            mlp_ratio=self.mlp_ratio,
+            mlp_type=self.mlp_type,
+            sam=self.sam,
+            bayesian=self.bayesian,
+            sigma_init=self.sigma_init,
+            scan_backend=self.scan_backend,
+        )
+
+        fea = x
+        skips = []
+        curr_dim = self.dim
+        for i in range(level):
+            fea = BasicBlock(
+                dim=curr_dim, num_blocks=self.num_blocks[i], d_state=d_state[i],
+                name=f"enc_{i}", **common,
+            )(fea)
+            skips.append(fea)
+            if self.use_pixelshuffle:
+                fea = PatchMerging(curr_dim, bayesian=False, name=f"down_{i}")(fea)
+            else:
+                fea = ConvDown(curr_dim, bayesian=False, name=f"down_{i}")(fea)
+            curr_dim *= 2
+
+        fea = BasicBlock(
+            dim=curr_dim, num_blocks=self.num_blocks[-1], d_state=d_state[level],
+            name="bottleneck", **common,
+        )(fea)
+
+        for i in range(level):
+            if self.use_pixelshuffle:
+                fea = DualUpSample(curr_dim, scale_factor=2, name=f"up_{i}")(fea)
+            else:
+                fea = DeconvUp(curr_dim, name=f"up_{i}")(fea)
+            fea = Conv2d(curr_dim // 2, 1, padding=0, use_bias=False,
+                         name=f"fusion_{i}")(
+                jnp.concatenate([fea, skips[level - 1 - i]], axis=-1)
+            )
+            fea = BasicBlock(
+                dim=curr_dim // 2, num_blocks=self.num_blocks[level - 1 - i],
+                d_state=d_state[level - 1 - i], name=f"dec_{i}", **common,
+            )(fea)
+            curr_dim //= 2
+
+        return x + DropPath(self.drop_path, name="drop_path")(fea)
+
+
+@ARCH_REGISTRY.register(name="Network")
+class Network(nn.Module):
+    """Stage-I (CG) / Stage-II (IE) U-Net (UNet_arch.py:364-474).
+
+    __call__(x, mask) -> [x, out] like the reference's out_list.
+    """
+
+    in_channels: int = 3
+    out_channels: int = 3
+    n_feat: int = 40
+    stage: int = 1
+    num_blocks: Sequence[int] = (1, 1, 1)
+    d_state: Union[int, Sequence[int]] = 1
+    ssm_ratio: float = 1
+    mlp_ratio: float = 4
+    mlp_type: str = "gdmlp"
+    use_pixelshuffle: bool = False
+    drop_path: float = 0.0
+    use_illu: bool = False
+    sam: bool = False
+    last_act: Optional[str] = None
+    bayesian: bool = False
+    sigma_init: float = 0.05
+    scan_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        outs = [x]
+        fea = Conv2d(
+            self.n_feat, 3, padding=1, use_bias=True,
+            kernel_init=inits.kaiming_normal(mode="fan_out", nonlinearity="linear"),
+            bias_init=inits.zeros,
+            name="first_conv",
+        )(x)
+
+        # MIM masking (UNet_arch.py:402-403,464-467)
+        mask_token = self.param(
+            "mask_token", inits.trunc_normal(std=0.02), (1, 1, 1, self.n_feat)
+        )
+        if mask is not None:
+            w = mask[..., None].astype(fea.dtype)  # (B, H, W, 1)
+            fea = fea * (1.0 - w) + mask_token.astype(fea.dtype) * w
+
+        proj = Conv2d(self.out_channels, 3, padding=1, use_bias=True,
+                      bias_init=inits.zeros, name="proj")
+        out = None
+        for i in range(self.stage):
+            fea = SubNetwork(
+                dim=self.n_feat,
+                num_blocks=self.num_blocks,
+                d_state=self.d_state,
+                ssm_ratio=self.ssm_ratio,
+                mlp_ratio=self.mlp_ratio,
+                mlp_type=self.mlp_type,
+                use_pixelshuffle=self.use_pixelshuffle,
+                drop_path=self.drop_path,
+                sam=self.sam,
+                bayesian=self.bayesian,
+                sigma_init=self.sigma_init,
+                scan_backend=self.scan_backend,
+                name=f"subnets_{i}",
+            )(fea)
+            out = proj(fea)
+            if self.last_act == "relu":
+                out = jax.nn.relu(out)
+            elif self.last_act == "softmax":
+                out = jax.nn.softmax(out, axis=-1)
+            outs.append(out)
+        return outs

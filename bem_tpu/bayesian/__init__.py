@@ -1,0 +1,3 @@
+from .tools import get_kl_loss, update_prior_ema, sample_rngs
+
+__all__ = ["get_kl_loss", "update_prior_ema", "sample_rngs"]

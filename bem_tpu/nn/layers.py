@@ -1,0 +1,286 @@
+"""Core layers: channels-last convs/dense with optional Bayesian reparameterization.
+
+Every layer here doubles as its own Bayesian (mean-field Gaussian) variant —
+the TPU-native answer to the reference's post-hoc module swapping
+(basicsr/bayesian/tools.py:48-63 replacing Conv2d/Linear with
+``*Reparameterization`` classes, conv.py:10-135, linear.py:8-202):
+
+- ``bayesian=False``: plain layer, params {kernel, bias}.
+- ``bayesian=True``: params {mu_kernel, rho_kernel[, mu_bias, rho_bias]},
+  an EMA *prior* copy lives in the ``bayes_prior`` variable collection, and
+  the weight is sampled ``w = mu + softplus(rho) * eps`` **iff** a ``bayes``
+  PRNG stream is supplied to ``apply`` — so "deterministic mode"
+  (reference set_prediction_type, tools.py:65-73) is simply *not passing the
+  rng*, and K-sample inference is ``vmap`` over K rngs.
+
+The prior EMA update and the KL loss are pure tree functions over
+(params, bayes_prior) in :mod:`bem_tpu.bayesian.tools` — run once per train
+step instead of mutating state inside each forward (conv.py:91-104).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from . import init as inits
+
+Dtype = Any
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v, v)
+
+
+def softplus_sigma(rho: jax.Array) -> jax.Array:
+    """σ = log1p(exp(ρ)) (reference conv.py:106)."""
+    return jax.nn.softplus(rho)
+
+
+def rho_from_sigma(sigma: float) -> float:
+    """Inverse softplus used for ρ init (reference conv.py:74)."""
+    return math.log(math.expm1(abs(sigma)) + 1e-20)
+
+
+class _BayesParamMixin:
+    """Shared machinery to declare (mu, rho) + prior and sample a weight."""
+
+    def _bayes_weight(self, name: str, init_fn, shape, sigma_init: float):
+        rho_init = rho_from_sigma(sigma_init)
+        mu = self.param(f"mu_{name}", init_fn, shape)
+        rho = self.param(f"rho_{name}", inits.constant(rho_init), shape)
+        # prior copies, tracked as EMA of the posterior (conv.py:91-104);
+        # initialized to the posterior init (conv.py:77-78)
+        self.variable("bayes_prior", f"mu_{name}", lambda: jnp.asarray(mu))
+        self.variable("bayes_prior", f"rho_{name}", lambda: jnp.asarray(rho))
+        if self.has_rng("bayes"):
+            eps = jax.random.normal(self.make_rng("bayes"), shape, jnp.float32)
+            return mu + softplus_sigma(rho) * eps
+        return mu
+
+
+class Conv2d(nn.Module, _BayesParamMixin):
+    """NHWC conv. `padding` may be 'SAME'/'VALID', int, or pair; `reflect=True`
+    uses reflection padding (QD model3/4 ReflectionConvBlock)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[str, int, Tuple[int, int]] = "SAME"
+    groups: int = 1
+    use_bias: bool = True
+    reflect: bool = False
+    kernel_init: Callable = inits.torch_default_kernel
+    bias_init: Optional[Callable] = None  # default: torch uniform(±1/sqrt(fan_in))
+    bayesian: bool = False
+    sigma_init: float = 0.05
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = _pair(self.kernel_size)
+        in_ch = x.shape[-1]
+        assert in_ch % self.groups == 0, (in_ch, self.groups)
+        kshape = (kh, kw, in_ch // self.groups, self.features)
+        fan_in = (in_ch // self.groups) * kh * kw
+
+        if self.bayesian:
+            kernel = self._bayes_weight("kernel", self.kernel_init, kshape, self.sigma_init)
+        else:
+            kernel = self.param("kernel", self.kernel_init, kshape)
+
+        bias = None
+        if self.use_bias:
+            b_init = self.bias_init or inits.torch_default_bias(fan_in)
+            if self.bayesian:
+                bias = self._bayes_weight("bias", b_init, (self.features,), self.sigma_init)
+            else:
+                bias = self.param("bias", b_init, (self.features,))
+
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        elif isinstance(pad, (tuple, list)) and isinstance(pad[0], int):
+            pad = ((pad[0], pad[0]), (pad[1], pad[1]))
+
+        if self.reflect:
+            ph, pw = (kh - 1) // 2, (kw - 1) // 2
+            x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect")
+            pad = "VALID"
+
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=_pair(self.strides),
+            padding=pad,
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """NHWC transposed conv (reference deconv_up: k=2, s=2, UNet_arch.py:85-93)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 2
+    strides: Union[int, Tuple[int, int]] = 2
+    use_bias: bool = True
+    kernel_init: Callable = inits.torch_default_kernel
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = _pair(self.kernel_size)
+        in_ch = x.shape[-1]
+        kshape = (kh, kw, in_ch, self.features)
+        # torch fan_in for ConvTranspose counts out-channels side; use in_ch*k*k
+        fan_in = in_ch * kh * kw
+        kernel = self.param("kernel", self.kernel_init, kshape)
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_transpose(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            strides=_pair(self.strides),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", inits.torch_default_bias(fan_in), (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class Dense(nn.Module, _BayesParamMixin):
+    """Channels-last linear (== reference Linear2d applied as 1x1 conv, vmamba.py:42-51)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = inits.torch_default_kernel
+    bias_init: Optional[Callable] = None
+    bayesian: bool = False
+    sigma_init: float = 0.05
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (in_ch, self.features)
+        if self.bayesian:
+            kernel = self._bayes_weight("kernel", self.kernel_init, kshape, self.sigma_init)
+        else:
+            kernel = self.param("kernel", self.kernel_init, kshape)
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype), preferred_element_type=dtype)
+        if self.use_bias:
+            b_init = self.bias_init or inits.torch_default_bias(in_ch)
+            if self.bayesian:
+                bias = self._bayes_weight("bias", b_init, (self.features,), self.sigma_init)
+            else:
+                bias = self.param("bias", b_init, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class LayerNorm2d(nn.Module):
+    """LayerNorm over the channel axis. In NHWC this is a plain last-axis LN —
+    the reference needed permutes around it (vmamba.py:58-63); here it's free."""
+
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        C = x.shape[-1]
+        if self.use_scale:
+            y = y * self.param("scale", inits.ones, (C,))
+        if self.use_bias:
+            y = y + self.param("bias", inits.zeros, (C,))
+        return y.astype(dtype)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm for NHWC (QD ReflectionConvBlock uses GroupNorm(1, C) — i.e.
+    LayerNorm over (H, W, C), model4.py:57)."""
+
+    num_groups: int = 1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dtype = x.dtype
+        B, H, W, C = x.shape
+        G = self.num_groups
+        xf = x.astype(jnp.float32).reshape(B, H, W, G, C // G)
+        mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(B, H, W, C)
+        y = y * self.param("scale", inits.ones, (C,)) + self.param("bias", inits.zeros, (C,))
+        return y.astype(dtype)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth. Active only when a 'dropout' rng is given."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.rate == 0.0 or not self.has_rng("dropout"):
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Identity(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return x
+
+
+class PReLU(nn.Module):
+    """Channel-shared PReLU (torch default: single learnable slope 0.25)."""
+
+    init_slope: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        a = self.param("slope", inits.constant(self.init_slope), (1,))
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+
+
+def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
+    """(B, H, W, C*r^2) -> (B, H*r, W*r, C), torch PixelShuffle channel order."""
+    B, H, W, C = x.shape
+    r = factor
+    c = C // (r * r)
+    # torch layout: channels = c * r * r with (c, rh, rw) ordering
+    x = x.reshape(B, H, W, c, r, r)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))
+    return x.reshape(B, H * r, W * r, c)
+
+
+def pixel_unshuffle(x: jax.Array, factor: int) -> jax.Array:
+    """(B, H*r, W*r, C) -> (B, H, W, C*r^2) inverse of pixel_shuffle."""
+    B, H, W, C = x.shape
+    r = factor
+    x = x.reshape(B, H // r, r, W // r, r, C)
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4))
+    return x.reshape(B, H // r, W // r, C * r * r)

@@ -1,0 +1,219 @@
+"""SS2D — 2D selective scan block, the VMamba core op.
+
+TPU-native rebuild of the reference SS2Dv2 with ``forward_type="v05_noz"``
+(the variant every BEM arch uses, UNet_arch.py:219): __init__ parity with
+vmamba.py:437-545, forward parity with forwardv2 (vmamba.py:700-716) and
+forward_corev2 (vmamba.py:547-698).
+
+Differences by design (not translation):
+- channels-last NHWC; ``Linear2d``-as-1x1-conv becomes a plain Dense on the
+  lane axis; LayerNorm2d needs no permutes.
+- the K=4 directional projections run as one batched einsum on the MXU
+  (replacing grouped conv1d / Triton cross-scan);
+- the scan itself is :func:`bem_tpu.ops.scan.selective_scan` (Pallas kernel
+  on TPU) with fp32 carry regardless of compute dtype;
+- Bayesian conversion is the ``bayesian`` flag: it turns in_proj / conv2d /
+  out_proj into reparameterized layers — exactly the module set the
+  reference's convert2bnn swaps inside an SS2D (raw parameters
+  x_proj_weight/dt_projs/A_logs/Ds are not modules and stay deterministic,
+  tools.py:53-63).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.cross_scan import cross_scan, cross_merge
+from ..ops.scan import selective_scan
+from . import init as inits
+from .layers import Conv2d, Dense, LayerNorm2d, Identity
+
+
+def parse_forward_type(forward_type: str):
+    """Split a reference forward_type string into (base, flags dict)."""
+    flags = {
+        "no32": False,
+        "oact": False,
+        "noz": False,
+        "nozact": False,
+        "out_norm": "ln",
+    }
+    for tag in ("_no32", "_oact", "_noz", "_nozact"):
+        if forward_type.endswith(tag):
+            flags[tag[1:]] = True
+            forward_type = forward_type[: -len(tag)]
+    for tag, name in (
+        ("_onnone", "none"),
+        ("_ondwconv3", "dwconv3"),
+        ("_oncnorm", "cnorm"),
+        ("_onsoftmax", "softmax"),
+        ("_onsigmoid", "sigmoid"),
+    ):
+        if forward_type.endswith(tag):
+            flags["out_norm"] = name
+            forward_type = forward_type[: -len(tag)]
+    return forward_type, flags
+
+
+_SCAN_MODES = {
+    "v01": 0, "v02": 0, "v03": 0, "v04": 0, "v05": 0, "v2": 0, "v3": 0,
+    "v051d": 1, "v052d": 2,
+}
+_FORCE_FP32 = {"v01": True, "v02": True, "v03": True, "v2": True}
+
+
+class SS2D(nn.Module):
+    d_model: int = 96
+    d_state: int = 1
+    ssm_ratio: float = 1.0
+    dt_rank: Any = "auto"
+    d_conv: int = 3
+    conv_bias: bool = False
+    dropout: float = 0.0
+    bias: bool = False
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init: str = "random"
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    initialize: str = "v0"
+    forward_type: str = "v05_noz"
+    bayesian: bool = False
+    sigma_init: float = 0.05
+    scan_backend: Optional[str] = None
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: (B, H, W, d_model) -> (B, H, W, d_model)."""
+        base, flags = parse_forward_type(self.forward_type)
+        if base not in _SCAN_MODES:
+            raise NotImplementedError(f"forward_type base {base!r}")
+        scans = _SCAN_MODES[base]
+        force_fp32 = _FORCE_FP32.get(base, False)
+
+        d_inner = int(self.ssm_ratio * self.d_model)
+        R = math.ceil(self.d_model / 16) if self.dt_rank == "auto" else self.dt_rank
+        N = self.d_state
+        K = 4
+        disable_z = flags["noz"]
+        bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init)
+
+        B_, H, W, _ = x.shape
+        L = H * W
+
+        # ---- in_proj (+ optional gate z) -----------------------------------
+        d_proj = d_inner if disable_z else 2 * d_inner
+        xz = Dense(d_proj, use_bias=self.bias, name="in_proj", **bayes)(x)
+        if not disable_z:
+            xs_in, z = jnp.split(xz, 2, axis=-1)
+            if not flags["nozact"]:
+                z = jax.nn.silu(z)
+        else:
+            xs_in = xz
+
+        # ---- depthwise conv + act ------------------------------------------
+        if self.d_conv > 1:
+            xs_in = Conv2d(
+                d_inner,
+                kernel_size=self.d_conv,
+                padding=(self.d_conv - 1) // 2,
+                groups=d_inner,
+                use_bias=self.conv_bias,
+                name="conv2d",
+                **bayes,
+            )(xs_in)
+        xs_in = jax.nn.silu(xs_in)
+
+        # ---- SSM parameters (raw, never bayesian — parity with tools.py) ---
+        x_proj_weight = self.param(
+            "x_proj_weight",
+            inits.torch_default_kernel,
+            (K, R + 2 * N, d_inner),
+        )
+        if self.initialize == "v0":
+            dt_w_init = inits.dt_proj_weight_init(R, self.dt_scale, self.dt_init)
+            dt_b_init = inits.dt_proj_bias_init(self.dt_min, self.dt_max, self.dt_init_floor)
+            a_init = inits.a_log_init(N)
+            d_init = inits.ones
+        else:  # "v1"/"v2" simple inits (vmamba.py:534-545)
+            rnd = self.initialize == "v1"
+            dt_w_init = (lambda k, s, d=jnp.float32: 0.1 * jax.random.normal(k, s, d)) if rnd else (
+                lambda k, s, d=jnp.float32: 0.1 * jax.random.uniform(k, s, d))
+            dt_b_init = dt_w_init
+            a_init = (lambda k, s, d=jnp.float32: jax.random.normal(k, s, d)) if rnd else inits.zeros
+            d_init = inits.ones
+        dt_projs_weight = self.param("dt_projs_weight", dt_w_init, (K, d_inner, R))
+        dt_projs_bias = self.param("dt_projs_bias", dt_b_init, (K, d_inner))
+        A_logs = self.param("A_logs", a_init, (K * d_inner, N))
+        Ds = self.param("Ds", d_init, (K * d_inner,))
+
+        # ---- forward_corev2: cross-scan -> proj -> scan -> merge ------------
+        xs = cross_scan(xs_in, scans=scans)  # (B, K, L, D)
+        dtype = xs.dtype
+        x_dbl = jnp.einsum(
+            "bkld,kcd->bklc", xs, x_proj_weight.astype(dtype),
+            preferred_element_type=dtype,
+        )
+        dts = x_dbl[..., :R]
+        Bs = x_dbl[..., R : R + N]
+        Cs = x_dbl[..., R + N :]
+        dts = jnp.einsum(
+            "bklr,kdr->bkld", dts, dt_projs_weight.astype(dtype),
+            preferred_element_type=dtype,
+        )
+
+        # fold K into channels (k-major, matching A_logs/Ds flattening)
+        u = jnp.moveaxis(xs, 1, 2).reshape(B_, L, K * d_inner)
+        delta = jnp.moveaxis(dts, 1, 2).reshape(B_, L, K * d_inner)
+        Bs = jnp.moveaxis(Bs, 1, 2)  # (B, L, K, N)
+        Cs = jnp.moveaxis(Cs, 1, 2)
+        if force_fp32:
+            u, delta, Bs, Cs = (t.astype(jnp.float32) for t in (u, delta, Bs, Cs))
+
+        A = -jnp.exp(A_logs.astype(jnp.float32))
+        y = selective_scan(
+            u, delta, A, Bs, Cs,
+            D=Ds,
+            delta_bias=dt_projs_bias.reshape(-1),
+            delta_softplus=True,
+            backend=self.scan_backend,
+        )  # (B, L, K*D) fp32
+
+        ys = jnp.moveaxis(y.reshape(B_, L, K, d_inner), 2, 1)
+        y = cross_merge(ys, H, W, scans=scans)  # (B, H, W, D) fp32
+
+        # ---- out norm -------------------------------------------------------
+        on = flags["out_norm"]
+        if on == "ln":
+            y = LayerNorm2d(name="out_norm")(y)
+        elif on == "none":
+            pass
+        elif on == "softmax":
+            y = jax.nn.softmax(y.reshape(B_, L, -1), axis=1).reshape(B_, H, W, -1)
+        elif on == "sigmoid":
+            y = jax.nn.sigmoid(y)
+        elif on == "dwconv3":
+            y = Conv2d(d_inner, 3, padding=1, groups=d_inner, use_bias=False,
+                       name="out_norm")(y)
+        elif on == "cnorm":
+            y = LayerNorm2d(name="out_norm")(y)
+            y = Conv2d(d_inner, 3, padding=1, groups=d_inner, use_bias=False,
+                       name="out_norm_conv")(y)
+        y = y.astype(x.dtype)
+
+        if flags["oact"]:
+            y = jax.nn.gelu(y)
+        if not disable_z:
+            y = y * z
+        out = Dense(self.d_model, use_bias=self.bias, name="out_proj", **bayes)(y)
+        if self.dropout > 0 and self.has_rng("dropout"):
+            keep = 1.0 - self.dropout
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, out.shape)
+            out = jnp.where(mask, out / keep, 0.0)
+        return out

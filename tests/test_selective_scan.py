@@ -54,7 +54,7 @@ def make_inputs(rng, Bt=2, L=64, K=2, Cdim=6, N=2, dtype=np.float32):
 
 
 @pytest.mark.parametrize("backend", ["ref", "xla", "pallas"])
-@pytest.mark.parametrize("L", [8, 64, 300, 1024])
+@pytest.mark.parametrize("L", [8, 64, 300])
 def test_linear_scan_matches_numpy(rng, backend, L):
     D = 24
     a = rng.random((2, L, D)).astype(np.float32)
