@@ -30,6 +30,17 @@ def _flat(tree) -> Dict[tuple, jax.Array]:
     return traverse_util.flatten_dict(tree)
 
 
+def extract_bayes_prior(params: Any) -> Any:
+    """Initial prior = copy of the posterior's (mu_*, rho_*) leaves
+    (conv.py:77-78: prior init copies the posterior init). Returns None when
+    the network has no Bayesian layers."""
+    flat = {k: jnp.asarray(v) for k, v in _flat(params).items()
+            if k[-1].startswith(("mu_", "rho_"))}
+    if not flat:
+        return None
+    return traverse_util.unflatten_dict(flat)
+
+
 def update_prior_ema(prior: Any, params: Any, step: jax.Array, decay: float = 0.9998) -> Any:
     """EMA-update every prior leaf toward its posterior param (conv.py:91-104).
 

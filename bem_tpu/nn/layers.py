@@ -55,10 +55,9 @@ class _BayesParamMixin:
         rho_init = rho_from_sigma(sigma_init)
         mu = self.param(f"mu_{name}", init_fn, shape)
         rho = self.param(f"rho_{name}", inits.constant(rho_init), shape)
-        # prior copies, tracked as EMA of the posterior (conv.py:91-104);
-        # initialized to the posterior init (conv.py:77-78)
-        self.variable("bayes_prior", f"mu_{name}", lambda: jnp.asarray(mu))
-        self.variable("bayes_prior", f"rho_{name}", lambda: jnp.asarray(rho))
+        # The EMA prior copy is NOT a module variable: it is derived from the
+        # params tree post-init (bem_tpu.bayesian.tools.extract_bayes_prior)
+        # and carried in the TrainState, so apply() needs no extra collection.
         if self.has_rng("bayes"):
             eps = jax.random.normal(self.make_rng("bayes"), shape, jnp.float32)
             return mu + softplus_sigma(rho) * eps

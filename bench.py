@@ -1,0 +1,117 @@
+"""Driver benchmark: two-stage Bayesian enhancement throughput on one chip.
+
+Metric (BASELINE.json): LOLv1-size (600x400) images/sec/chip at K=16
+Bayesian samples — i.e. complete two-stage pipelines per second, each one:
+  1. downsample x16 condition input,
+  2. K=16 stochastic Stage-I (Bayesian CG U-Net) forwards == one vmapped
+     batch over K PRNG keys,
+  3. upsample conditions x16, concat with the full-res input,
+  4. K=16 Stage-II (IE U-Net) forwards == one K-batch,
+  5. on-device candidate reduction (argmax over a no-ref score proxy).
+
+The reference protocol (Enhancement/eval.py:199-243) runs step 2 as K
+sequential CUDA forwards and step 4 in chunks of parallel_num; the TPU
+pipeline is one compiled program.
+
+vs_baseline: the reference publishes no A100 throughput (speed_test.py
+defines the protocol but no recorded result; BASELINE.md). We use an
+estimated 2.5 pipelines/sec for the PyTorch reference on A100 at K=16
+(K sequential CG + 2x8-batched IE forwards at 600x400) and will replace it
+with a measured number when available. vs_baseline > 10 is the north star.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_PIPELINES_PER_SEC = 2.5  # estimated A100 PyTorch ref (see docstring)
+K = 16
+H, W = 400, 600  # LOLv1 image size (rows x cols)
+SCALE_DOWN = 16
+# eval.py:146-172 reflect-pads the input to a multiple of 4*scale_factor so
+# the /16 condition grid divides the CG U-Net's 2 downsampling levels
+WINDOW = 4 * SCALE_DOWN
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bem_tpu.archs import build_network
+    from bem_tpu.ops.resize import resize_bilinear
+
+    # flagship-size CG (bayesian) and IE nets (UNet_arch.py build_model defaults)
+    common = dict(
+        n_feat=40, stage=1, num_blocks=(2, 2, 2), d_state=(1, 1, 1),
+        ssm_ratio=1, mlp_ratio=4, mlp_type="gdmlp", use_pixelshuffle=True,
+    )
+    cg = build_network(dict(type="Network", in_channels=3, out_channels=3,
+                            bayesian=True, **common))
+    ie = build_network(dict(type="Network", in_channels=6, out_channels=3, **common))
+
+    # pad to window multiples (eval.py pads to multiple of 4*scale)
+    ph = (WINDOW - H % WINDOW) % WINDOW
+    pw = (WINDOW - W % WINDOW) % WINDOW
+    Hp, Wp = H + ph, W + pw
+    hc, wc = Hp // SCALE_DOWN, Wp // SCALE_DOWN
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, Hp, Wp, 3)), jnp.bfloat16)
+    cond_in = jnp.asarray(rng.random((1, hc, wc, 3)), jnp.bfloat16)
+
+    cg_vars = jax.jit(cg.init)(jax.random.PRNGKey(0), cond_in)
+    ie_vars = jax.jit(ie.init)(jax.random.PRNGKey(1), jnp.concatenate([img, img], -1))
+
+    K_CHUNK = 8  # IE K-batch per device pass (memory-bounded at full res)
+
+    def pipeline(key, img, cond_in):
+        keys = jax.random.split(key, K)
+        # Stage I: K Bayesian samples as one vmapped batch
+        conds = jax.vmap(
+            lambda k: cg.apply(cg_vars, cond_in, rngs={"bayes": k})[-1]
+        )(keys)  # (K, 1, hc, wc, 3)
+        conds = jnp.clip(conds, 0.0, 1.0).reshape(K, hc, wc, 3)
+        up = resize_bilinear(conds, size=(Hp, Wp)).astype(img.dtype)
+        inp = jnp.concatenate(
+            [jnp.broadcast_to(img, (K, Hp, Wp, 3)), up], axis=-1
+        )
+        # Stage II in K chunks
+        outs = []
+        for i in range(0, K, K_CHUNK):
+            outs.append(ie.apply(ie_vars, inp[i : i + K_CHUNK])[-1])
+        preds = jnp.concatenate(outs, 0)
+        # on-device candidate reduction (brightness-proxy score + argmax)
+        score = -jnp.abs(jnp.mean(preds.astype(jnp.float32), axis=(1, 2, 3)) - 0.5)
+        best = jnp.argmax(score)
+        return preds[best]
+
+    fn = jax.jit(pipeline)
+    key = jax.random.PRNGKey(42)
+
+    # warmup / compile
+    out = fn(key, img, cond_in)
+    out.block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(jax.random.fold_in(key, i), img, cond_in)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    ips = iters / dt
+
+    print(json.dumps({
+        "metric": "LOLv1 600x400 images/sec/chip @ K=16 two-stage Bayesian",
+        "value": round(ips, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / BASELINE_PIPELINES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

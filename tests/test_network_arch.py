@@ -6,7 +6,12 @@ import numpy as np
 import pytest
 
 from bem_tpu.archs import build_network
-from bem_tpu.bayesian import get_kl_loss, update_prior_ema, sample_rngs
+from bem_tpu.bayesian import (
+    get_kl_loss,
+    update_prior_ema,
+    sample_rngs,
+    extract_bayes_prior,
+)
 
 
 CFG = dict(
@@ -105,7 +110,7 @@ def test_bayesian_sampling_semantics(bayes_net):
 def test_bayesian_kl_and_prior_ema(bayes_net):
     net, variables = bayes_net
     params = variables["params"]
-    prior = variables["bayes_prior"]
+    prior = extract_bayes_prior(params)
 
     # KL(posterior || prior) == 0 at init (prior copies posterior)
     kl0 = get_kl_loss(params, prior)
