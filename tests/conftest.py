@@ -8,11 +8,18 @@ device spoofing, so sharding code is exercised without a TPU pod.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA's default matmul/conv precision is bf16-level even for fp32 inputs;
+# parity tests against fp32 torch oracles need true fp32 accumulation.
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
 import pytest
