@@ -4,6 +4,8 @@ from typing import Any, Dict
 
 from ..utils.registry import ARCH_REGISTRY
 from . import unet_arch  # noqa: F401  (registers Network)
+from . import decomp_archs  # noqa: F401  (Decomp* family)
+from . import vmunet_archs  # noqa: F401  (VMUNet/TunedModel family)
 
 
 def _listify(v):

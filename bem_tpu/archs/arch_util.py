@@ -178,6 +178,51 @@ class CSAF(nn.Module):
         return x0 * w0 + x2 * w2 + x4 * w4
 
 
+class CrossFusionBlock(nn.Module):
+    """x_tgt + gate * 1x1(x_src) (DecompModel_arch.py:57-66)."""
+
+    in_channels: int
+
+    @nn.compact
+    def __call__(self, x_src, x_tgt):
+        gate = self.param("gate", inits.ones, (self.in_channels,))
+        return x_tgt + gate.astype(x_tgt.dtype) * Conv2d(
+            self.in_channels, 1, padding=0, name="transform"
+        )(x_src)
+
+
+class SEBlock(nn.Module):
+    """Squeeze-excitation channel attention (DecompModel_arch.py:68-84)."""
+
+    channel: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.mean(x, axis=(1, 2), keepdims=True)
+        y = Conv2d(self.channel // self.reduction, 1, padding=0, use_bias=False,
+                   name="fc1")(y)
+        y = jax.nn.relu(y)
+        y = Conv2d(self.channel, 1, padding=0, use_bias=False, name="fc2")(y)
+        return x * jax.nn.sigmoid(y)
+
+
+class SpatialAttention(nn.Module):
+    """Mean/max-pool spatial attention (DecompModel_arch.py:86-99)."""
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        attn = Conv2d(1, self.kernel_size, padding=self.kernel_size // 2,
+                      use_bias=False, name="conv")(
+            jnp.concatenate([avg, mx], axis=-1)
+        )
+        return x * jax.nn.sigmoid(attn)
+
+
 class SAM(nn.Module):
     """Multi-scale dilated dense attention (arch_util.py:353-380)."""
 

@@ -60,7 +60,7 @@ class BaseModel:
         self.metric_results: Dict[str, float] = {}
 
     # ------------------------------------------------------------------ setup
-    def _build_optimizer(self):
+    def _build_optimizer(self, params=None):
         train_opt = self.opt["train"]
         optim_opt = dict(train_opt["optim_g"])
         optim_type = optim_opt.pop("type")
@@ -90,6 +90,24 @@ class BaseModel:
             chain.append(optax.clip_by_global_norm(max_norm))
         chain.append(opt_core)
         self.tx = optax.chain(*chain)
+
+        # freeze embedded subtrees (e.g. the QD decomp the reference loads
+        # frozen at build time) — masks both updates AND AdamW weight decay
+        frozen = getattr(self.net, "frozen_subtrees", None)
+        if frozen is not None and params is not None:
+            prefixes = frozen() if callable(frozen) else frozen
+
+            def label(tree):
+                return {
+                    k: jax.tree.map(
+                        lambda _: "frozen" if k in prefixes else "train", v
+                    )
+                    for k, v in tree.items()
+                }
+
+            self.tx = optax.multi_transform(
+                {"train": self.tx, "frozen": optax.set_to_zero()}, label(params)
+            )
         self.ema_decay = train_opt.get("ema_decay", 0)
 
     def init_state(self, example_batch: Dict[str, np.ndarray], seed: int = 0):
@@ -99,11 +117,13 @@ class BaseModel:
         init_rng, state_rng = jax.random.split(rng)
         variables = jax.jit(self._init_variables)(init_rng, _arrays_only(example_batch))
         params = variables["params"]
+        if hasattr(self.net, "load_frozen"):
+            params = jax.tree.map(jnp.asarray, self.net.load_frozen(params))
         from ..bayesian import extract_bayes_prior
 
         bayes_prior = extract_bayes_prior(params)
         if self.is_train:
-            self._build_optimizer()
+            self._build_optimizer(params)
             opt_state = self.tx.init(params)
         else:
             opt_state = None
