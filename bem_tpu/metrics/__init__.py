@@ -3,13 +3,15 @@
 from copy import deepcopy
 
 from ..utils.registry import METRIC_REGISTRY
-from . import psnr_ssim  # noqa: F401
+from . import psnr_ssim, niqe, uciqe_uiqm  # noqa: F401
 from .psnr_ssim import (
     calculate_psnr,
     calculate_ssim,
     calculate_psnr_jax,
     calculate_ssim_jax,
 )
+from .niqe import calculate_niqe
+from .uciqe_uiqm import getUCIQE, getUIQM, calculate_uciqe, calculate_uiqm
 
 
 def calculate_metric(data, opt):
