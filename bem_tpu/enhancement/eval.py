@@ -1,0 +1,348 @@
+"""Two-stage Bayesian enhancement evaluation (reference: Enhancement/eval.py).
+
+python -m bem_tpu.enhancement.eval --opt CG.yml --weights cg.msgpack \\
+    --cond_opt IE.yml --cond_weights ie.msgpack --input_dir ... --target_dir ... \\
+    [--num_samples 200] [--no_ref niqe|uiqm_uciqe|clip] [--GT_mean] [--Monte_Carlo]
+
+Protocol parity (eval.py:30-363): reflect-pad to a multiple of 4*scale,
+/16 bilinear (or KDE-histogram) condition input, K stochastic Stage-I
+forwards, clamp + optional GT-mean rescale + condition noise, x16 bilinear
+upsample, Stage-II on cat(input, cond), candidate scoring (CLIP-IQA /
+NIQE / UIQM+UCIQE / weighted PSNR+SSIM), argmax selection, optional
+Monte-Carlo mean, ranked candidate dumps and result.txt.
+
+TPU-native difference: the K Stage-I samples are ONE vmapped batch over
+PRNG keys and Stage-II runs K-batched in ``parallel_num`` chunks inside a
+single jitted program per image shape — the reference's K-iteration Python
+loop (eval.py:199-222) disappears.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from glob import glob
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def natsorted(paths):
+    import re
+
+    def key(s):
+        return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+
+    return sorted(paths, key=key)
+
+
+def pad_img(inp: np.ndarray, factor: int) -> np.ndarray:
+    """Reflect-pad H, W up to multiples of factor (eval.py:146-153)."""
+    h, w = inp.shape[0], inp.shape[1]
+    padh = (factor - h % factor) % factor
+    padw = (factor - w % factor) % factor
+    if padh or padw:
+        inp = np.pad(inp, ((0, padh), (0, padw), (0, 0)), "reflect")
+    return inp
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Bayesian two-stage enhancement eval")
+    p.add_argument("--result_dir", default="./results/", type=str)
+    p.add_argument("--input_dir", default="", type=str)
+    p.add_argument("--target_dir", default="", type=str)
+    p.add_argument("--opt", type=str, required=True, help="Stage-I (CG) YAML")
+    p.add_argument("--cond_opt", type=str, required=True, help="Stage-II (IE) YAML")
+    p.add_argument("--weights", default="", type=str)
+    p.add_argument("--cond_weights", default="", type=str)
+    p.add_argument("--dataset", default="dataset", type=str)
+    p.add_argument("--GT_mean", action="store_true")
+    p.add_argument("--num_samples", default=200, type=int)
+    p.add_argument("--Monte_Carlo", action="store_true")
+    p.add_argument("--psnr_weight", default=1.0, type=float)
+    p.add_argument("--no_ref", default="", type=str,
+                   choices=["", "clip", "niqe", "uiqm_uciqe"])
+    p.add_argument("--uiqm_weight", default=1.0, type=float)
+    p.add_argument("--lpips", action="store_true")
+    p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--parallel_num", default=8, type=int)
+    p.add_argument("--seed", default=287128, type=int)
+    p.add_argument("--clip_prompts", nargs="+",
+                   default=["brightness", "noisiness", "quality"])
+    p.add_argument("--save_candidates", action="store_true",
+                   help="dump all K candidates ranked by score")
+    return p
+
+
+def _build_net(opt_path, weights, bayesian):
+    import jax
+    import jax.numpy as jnp
+
+    from ..archs import build_network
+    from ..utils.checkpoint import load_params
+    from ..utils.options import parse
+
+    opt = parse(opt_path, is_train=False)
+    network_opt = dict(opt["network_g"])
+    if bayesian:
+        network_opt["bayesian"] = True
+        network_opt.setdefault("sigma_init", opt.get("sigma_init", 0.05))
+    net = build_network(network_opt)
+    params = None
+    if weights:
+        params = load_params(weights, "params")
+    return opt, net, params
+
+
+def main(args_list=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ..metrics import (
+        calculate_niqe,
+        calculate_psnr,
+        calculate_ssim,
+        getUCIQE,
+        getUIQM,
+    )
+    from ..ops.resize import resize_bilinear
+    from ..utils.histogram import histogram_condition
+    from ..utils.img_util import imwrite
+
+    args = build_parser().parse_args(args_list)
+    np.random.seed(args.seed)
+
+    opt, net, params = _build_net(args.opt, args.weights, bayesian=True)
+    cond_opt, cond_net, cond_params = _build_net(
+        args.cond_opt, args.cond_weights, bayesian=False
+    )
+    scale_factor = opt["condition"].get("scale_down", 0) + opt["condition"].get(
+        "hist_patch_size", 0
+    )
+    cond_type = opt["condition"]["type"]
+    noise_level = cond_opt["condition"].get("noise_level", 0)
+
+    result_dir = os.path.join(args.result_dir, args.dataset)
+    os.makedirs(result_dir, exist_ok=True)
+
+    input_paths = natsorted(
+        sum((glob(os.path.join(args.input_dir, f"*.{e}"))
+             for e in ("png", "jpg", "bmp", "tif")), [])
+    )
+    target_paths = []
+    if args.target_dir:
+        target_paths = natsorted(
+            sum((glob(os.path.join(args.target_dir, f"*.{e}"))
+                 for e in ("png", "jpg", "bmp", "tif")), [])
+        )
+    if not input_paths:
+        raise ValueError("No input images found")
+
+    K = args.num_samples
+    P = max(1, min(args.parallel_num, K))
+
+    clip_scorer = None
+    if args.no_ref == "clip":
+        from .clip_iqa import ClipIQA
+
+        clip_scorer = ClipIQA(tuple(args.clip_prompts))
+
+    lpips_fn = None
+    if args.lpips:
+        from .lpips_jax import LPIPS
+
+        lpips_fn = LPIPS()
+
+    # ---- the jitted per-image K-candidate pipeline -----------------------
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("use_gt_mean", "stochastic"))
+    def k_candidates(key, inp, cond_in, target_mean, use_gt_mean: bool,
+                     stochastic: bool):
+        hp, wp = inp.shape[1], inp.shape[2]
+
+        def one_cond(k):
+            if stochastic:
+                pred = net.apply({"params": params}, cond_in,
+                                 rngs={"bayes": k})[-1]
+            else:
+                pred = net.apply({"params": params}, cond_in)[-1]
+            return pred[0]
+
+        keys = jax.random.split(key, K + 1)
+        conds = jax.vmap(one_cond)(keys[1:])  # (K, hc, wc, C)
+        conds = jnp.clip(conds, 0.0, 1.0)
+        if use_gt_mean and cond_type != "histogram":
+            mean_pred = conds.mean(axis=(1, 2), keepdims=True)
+            conds = jnp.clip(conds * (target_mean / mean_pred), 0.0, 1.0)
+        conds = conds + noise_level * jax.random.normal(keys[0], conds.shape)
+
+        up = resize_bilinear(conds, size=(hp, wp))
+        inp_k = jnp.broadcast_to(inp, (K,) + inp.shape[1:])
+        x = jnp.concatenate([inp_k, up], axis=-1)
+        preds = []
+        for i in range(0, K, P):
+            preds.append(cond_net.apply({"params": cond_params}, x[i : i + P])[-1])
+        return jnp.concatenate(preds, axis=0)
+
+    psnr_l, ssim_l, lpips_l, niqe_l, uiqm_l, uciqe_l = [], [], [], [], [], []
+    mc_psnr, mc_ssim = [], []
+    t0 = time.perf_counter()
+    key = jax.random.PRNGKey(args.seed)
+
+    for p_idx, inp_path in enumerate(input_paths):
+        img = cv2.imread(inp_path, cv2.IMREAD_COLOR)[:, :, ::-1].astype(np.float32) / 255.0
+        h, w = img.shape[:2]
+        target = None
+        if target_paths:
+            target = cv2.imread(target_paths[p_idx], cv2.IMREAD_COLOR)[:, :, ::-1].astype(np.float32) / 255.0
+        img_pad = pad_img(img, 4 * scale_factor)
+
+        if cond_type == "mean":
+            cond_in = cv2.resize(img_pad, None, fx=1 / scale_factor,
+                                 fy=1 / scale_factor,
+                                 interpolation=cv2.INTER_LINEAR)
+        else:
+            cond_in = histogram_condition(
+                img_pad, opt["condition"]["hist_patch_size"],
+                opt["condition"]["num_bins"],
+            )
+        tmean = (
+            np.mean(target, axis=(0, 1), keepdims=True)[None]
+            if target is not None
+            else np.ones((1, 1, 1, 3), np.float32)
+        )
+
+        key, sub = jax.random.split(key)
+        preds = k_candidates(
+            sub,
+            jnp.asarray(img_pad[None]),
+            jnp.asarray(cond_in[None]),
+            jnp.asarray(tmean, jnp.float32),
+            use_gt_mean=args.GT_mean and target is not None,
+            stochastic=not args.deterministic,
+        )
+        preds = np.clip(np.asarray(preds)[:, :h, :w, :], 0.0, 1.0)  # (K, h, w, 3)
+
+        if args.GT_mean and target is not None:
+            mp = preds.mean(axis=(1, 2), keepdims=True)
+            mt = target.mean(axis=(0, 1), keepdims=True)[None]
+            preds = np.clip(preds * (mt / mp), 0.0, 1.0)
+
+        # ---- scoring + selection -----------------------------------------
+        scores = None
+        if args.no_ref == "clip":
+            scores = clip_scorer(preds)  # higher better
+            _idx = int(np.argmax(scores))
+        elif args.no_ref == "niqe":
+            vals = [calculate_niqe(p[..., ::-1] * 255, crop_border=0) for p in preds]
+            _idx = int(np.argmin(vals))
+            niqe_l.append(vals[_idx])
+            scores = [-v for v in vals]
+        elif args.no_ref == "uiqm_uciqe":
+            from PIL import Image
+
+            uiqms, uciqes = [], []
+            for p in preds:
+                small = np.array(
+                    Image.fromarray((p * 255).round().astype(np.uint8)).resize(
+                        (256, int(256 / p.shape[1] * p.shape[0]))
+                    )
+                )
+                uiqms.append(getUIQM(small))
+                uciqes.append(getUCIQE((p * 255).round().astype(np.uint8)))
+            combined = (
+                args.uiqm_weight * np.array(uiqms) / max(uiqms)
+                + (1 - args.uiqm_weight) * np.array(uciqes) / max(uciqes)
+            )
+            _idx = int(np.argmax(combined))
+            uiqm_l.append(uiqms[_idx])
+            uciqe_l.append(uciqes[_idx])
+            scores = combined.tolist()
+        else:
+            if target is not None:
+                psnrs = [calculate_psnr(target * 255, p * 255, 0) for p in preds]
+                ssims = [
+                    calculate_ssim(
+                        (target * 255).round().astype(np.uint8),
+                        (p * 255).round().astype(np.uint8), 0,
+                    )
+                    for p in preds
+                ]
+                combined = (
+                    args.psnr_weight * np.array(psnrs) / max(psnrs)
+                    + (1 - args.psnr_weight) * np.array(ssims) / max(ssims)
+                )
+                _idx = int(np.argmax(combined))
+                scores = combined.tolist()
+            else:
+                _idx = 0
+        best = preds[_idx]
+
+        if target is not None:
+            psnr_l.append(calculate_psnr(target * 255, best * 255, 0))
+            ssim_l.append(
+                calculate_ssim(
+                    (target * 255).round().astype(np.uint8),
+                    (best * 255).round().astype(np.uint8), 0,
+                )
+            )
+            if lpips_fn is not None:
+                lpips_l.append(float(lpips_fn(target, best)))
+            if args.Monte_Carlo:
+                mc = np.clip(preds.mean(axis=0), 0, 1)
+                if args.GT_mean:
+                    mc_gray = cv2.cvtColor(mc.astype(np.float32), cv2.COLOR_RGB2GRAY).mean()
+                    t_gray = cv2.cvtColor(target.astype(np.float32), cv2.COLOR_RGB2GRAY).mean()
+                    mc = np.clip(mc * (t_gray / mc_gray), 0, 1)
+                mc_psnr.append(calculate_psnr(target * 255, mc * 255, 0))
+                mc_ssim.append(
+                    calculate_ssim(
+                        (target * 255).round().astype(np.uint8),
+                        (mc * 255).round().astype(np.uint8), 0,
+                    )
+                )
+
+        name = os.path.splitext(os.path.basename(inp_path))[0]
+        imwrite((best[..., ::-1] * 255).round().astype(np.uint8),
+                os.path.join(result_dir, f"{name}.png"))
+        if args.save_candidates and scores is not None:
+            order = np.argsort(scores)[::-1]
+            for rank in order:
+                imwrite(
+                    (preds[rank][..., ::-1] * 255).round().astype(np.uint8),
+                    os.path.join(result_dir, f"{float(scores[rank]):.2f}.png"),
+                )
+        print(f"[{p_idx + 1}/{len(input_paths)}] {name}", flush=True)
+
+    print(f"running time: {time.perf_counter() - t0:.4f} sec")
+
+    with open(os.path.join(result_dir, "result.txt"), "w") as f:
+        def emit(label, values, fmt="{:.4f}"):
+            if values:
+                v = float(np.mean(values))
+                line = f"{label}: {fmt.format(v)}"
+                print(line)
+                f.write(line + " \n")
+
+        emit("Best_PSNR", psnr_l, "{:.4f} dB")
+        emit("Best_SSIM", ssim_l)
+        emit("Best_lpips", lpips_l)
+        emit("Best_NIQE", niqe_l)
+        emit("Best_UIQM", uiqm_l)
+        emit("Best_UCIQE", uciqe_l)
+        emit("MC_PSNR", mc_psnr, "{:.4f} dB")
+        emit("MC_SSIM", mc_ssim)
+    return {
+        "psnr": float(np.mean(psnr_l)) if psnr_l else None,
+        "ssim": float(np.mean(ssim_l)) if ssim_l else None,
+    }
+
+
+if __name__ == "__main__":
+    main()

@@ -28,8 +28,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.cross_scan import cross_scan, cross_merge
-from ..ops.scan import selective_scan
+from ..ops.cross_scan import cross_scan, cross_merge, cross_scan_cf, cross_merge_cf
+from ..ops.scan import selective_scan, default_backend
+from ..ops.scan_fused import selective_scan_fused
 from . import init as inits
 from .layers import Conv2d, Dense, LayerNorm2d, Identity
 
@@ -154,39 +155,60 @@ class SS2D(nn.Module):
         Ds = self.param("Ds", d_init, (K * d_inner,))
 
         # ---- forward_corev2: cross-scan -> proj -> scan -> merge ------------
-        xs = cross_scan(xs_in, scans=scans)  # (B, K, L, D)
-        dtype = xs.dtype
-        x_dbl = jnp.einsum(
-            "bkld,kcd->bklc", xs, x_proj_weight.astype(dtype),
-            preferred_element_type=dtype,
-        )
-        dts = x_dbl[..., :R]
-        Bs = x_dbl[..., R : R + N]
-        Cs = x_dbl[..., R + N :]
-        dts = jnp.einsum(
-            "bklr,kdr->bkld", dts, dt_projs_weight.astype(dtype),
-            preferred_element_type=dtype,
-        )
-
-        # fold K into channels (k-major, matching A_logs/Ds flattening)
-        u = jnp.moveaxis(xs, 1, 2).reshape(B_, L, K * d_inner)
-        delta = jnp.moveaxis(dts, 1, 2).reshape(B_, L, K * d_inner)
-        Bs = jnp.moveaxis(Bs, 1, 2)  # (B, L, K, N)
-        Cs = jnp.moveaxis(Cs, 1, 2)
-        if force_fp32:
-            u, delta, Bs, Cs = (t.astype(jnp.float32) for t in (u, delta, Bs, Cs))
-
         A = -jnp.exp(A_logs.astype(jnp.float32))
-        y = selective_scan(
-            u, delta, A, Bs, Cs,
-            D=Ds,
-            delta_bias=dt_projs_bias.reshape(-1),
-            delta_softplus=True,
-            backend=self.scan_backend,
-        )  # (B, L, K*D) fp32
-
-        ys = jnp.moveaxis(y.reshape(B_, L, K, d_inner), 2, 1)
-        y = cross_merge(ys, H, W, scans=scans)  # (B, H, W, D) fp32
+        backend = self.scan_backend or default_backend()
+        dtype = xs_in.dtype
+        if backend == "pallas":
+            # channel-first (L-minor) pipeline: compact HBM layouts for the
+            # narrow channel counts + fused scan kernel (ops/scan_fused.py)
+            xs = cross_scan_cf(xs_in, scans=scans)  # (B, K, C, L)
+            x_dbl = jnp.einsum(
+                "bkcl,krc->bkrl", xs, x_proj_weight.astype(dtype),
+                preferred_element_type=dtype,
+            )
+            dts = jnp.einsum(
+                "bkrl,kdr->bkdl", x_dbl[:, :, :R], dt_projs_weight.astype(dtype),
+                preferred_element_type=dtype,
+            )
+            Bs = x_dbl[:, :, R : R + N]  # (B, K, N, L)
+            Cs = x_dbl[:, :, R + N :]
+            ys = selective_scan_fused(
+                xs, dts, A, Bs, Cs,
+                D=Ds,
+                delta_bias=dt_projs_bias.reshape(-1),
+                delta_softplus=True,
+            )  # (B, K, C, L) fp32
+            y = cross_merge_cf(ys, H, W, scans=scans)  # (B, H, W, C) fp32
+        else:
+            xs = cross_scan(xs_in, scans=scans)  # (B, K, L, D)
+            x_dbl = jnp.einsum(
+                "bkld,kcd->bklc", xs, x_proj_weight.astype(dtype),
+                preferred_element_type=dtype,
+            )
+            dts = jnp.einsum(
+                "bklr,kdr->bkld", x_dbl[..., :R], dt_projs_weight.astype(dtype),
+                preferred_element_type=dtype,
+            )
+            Bs = x_dbl[..., R : R + N]
+            Cs = x_dbl[..., R + N :]
+            # fold K into channels (k-major, matching A_logs/Ds flattening)
+            u = jnp.moveaxis(xs, 1, 2).reshape(B_, L, K * d_inner)
+            delta = jnp.moveaxis(dts, 1, 2).reshape(B_, L, K * d_inner)
+            Bs_f = jnp.moveaxis(Bs, 1, 2)  # (B, L, K, N)
+            Cs_f = jnp.moveaxis(Cs, 1, 2)
+            if force_fp32:
+                u, delta, Bs_f, Cs_f = (
+                    t.astype(jnp.float32) for t in (u, delta, Bs_f, Cs_f)
+                )
+            y = selective_scan(
+                u, delta, A, Bs_f, Cs_f,
+                D=Ds,
+                delta_bias=dt_projs_bias.reshape(-1),
+                delta_softplus=True,
+                backend=backend,
+            )  # (B, L, K*D) fp32
+            ys = jnp.moveaxis(y.reshape(B_, L, K, d_inner), 2, 1)
+            y = cross_merge(ys, H, W, scans=scans)  # (B, H, W, D) fp32
 
         # ---- out norm -------------------------------------------------------
         on = flags["out_norm"]
