@@ -12,7 +12,20 @@ import numpy as np
 
 
 def compute_histograms(image: np.ndarray, patch_size: int = 8, bin_count: int = 256) -> np.ndarray:
-    """(H, W, 3) in [0,1] -> (C, H//p, W//p, bins) KDE histograms."""
+    """(H, W, 3) in [0,1] -> (C, H//p, W//p, bins) KDE histograms.
+
+    Uses the native C++ threaded kernel when available (bem_tpu/native),
+    falling back to the vectorized numpy path."""
+    from ..native import kde_histograms as native_kde
+
+    out = native_kde(np.ascontiguousarray(image, np.float32), patch_size, bin_count)
+    if out is not None:
+        return out
+    return _compute_histograms_np(image, patch_size, bin_count)
+
+
+def _compute_histograms_np(image: np.ndarray, patch_size: int = 8, bin_count: int = 256) -> np.ndarray:
+    """Vectorized numpy fallback."""
     H, W, C = image.shape
     assert C == 3, "The image must have 3 channels (RGB)."
     pad_h = (patch_size - H % patch_size) % patch_size
