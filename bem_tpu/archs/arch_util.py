@@ -178,6 +178,89 @@ class CSAF(nn.Module):
         return x0 * w0 + x2 * w2 + x4 * w4
 
 
+class ResidualBlockNoBN(nn.Module):
+    """Residual block without BN (arch_util.py:67-95)."""
+
+    num_feat: int = 64
+    res_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = Conv2d(self.num_feat, 3, padding=1, name="conv1")(x)
+        out = jax.nn.relu(out)
+        out = Conv2d(self.num_feat, 3, padding=1, name="conv2")(out)
+        return identity + out * self.res_scale
+
+
+class Upsample(nn.Module):
+    """Pixel-shuffle upsampler for scale 2^n / 3 (arch_util.py:98-118)."""
+
+    scale: int
+    num_feat: int
+
+    @nn.compact
+    def __call__(self, x):
+        import math
+
+        if (self.scale & (self.scale - 1)) == 0:
+            for i in range(int(math.log2(self.scale))):
+                x = Conv2d(4 * self.num_feat, 3, padding=1, name=f"conv_{i}")(x)
+                x = pixel_shuffle(x, 2)
+        elif self.scale == 3:
+            x = Conv2d(9 * self.num_feat, 3, padding=1, name="conv_0")(x)
+            x = pixel_shuffle(x, 3)
+        else:
+            raise ValueError(f"scale {self.scale} is not supported")
+        return x
+
+
+def flow_warp(x: jax.Array, flow: jax.Array, padding_mode: str = "zeros") -> jax.Array:
+    """Warp NHWC x by optical flow (B, H, W, 2) (arch_util.py:121-156)."""
+    from ..ops.legacy import _bilinear_gather
+
+    B, H, W, C = x.shape
+    gy, gx = jnp.meshgrid(jnp.arange(H, dtype=flow.dtype),
+                          jnp.arange(W, dtype=flow.dtype), indexing="ij")
+    ys = (gy[None] + flow[..., 1]).reshape(B, H * W)
+    xs = (gx[None] + flow[..., 0]).reshape(B, H * W)
+    out = _bilinear_gather(x, ys, xs)
+    return out.reshape(B, H, W, C)
+
+
+class DCNv2Pack(nn.Module):
+    """Modulated deformable conv with self-generated offsets
+    (arch_util.py:232-273, EDVR-era)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    deform_groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, feat):
+        from ..ops.legacy import modulated_deform_conv2d
+
+        k = self.kernel_size
+        out = Conv2d(self.deform_groups * 3 * k * k, k, padding=k // 2,
+                     kernel_init=inits.zeros, bias_init=inits.zeros,
+                     name="conv_offset")(feat)
+        o1, o2, mask = jnp.split(out, 3, axis=-1)
+        # interleave (dy, dx) pairs per tap
+        offset = jnp.stack([o1, o2], axis=-1).reshape(
+            *o1.shape[:-1], 2 * o1.shape[-1]
+        )
+        mask = jax.nn.sigmoid(mask)
+        in_ch = x.shape[-1]
+        weight = self.param("kernel", inits.torch_default_kernel,
+                            (k, k, in_ch, self.out_channels))
+        bias = self.param("bias", inits.torch_default_bias(in_ch * k * k),
+                          (self.out_channels,))
+        return modulated_deform_conv2d(
+            x, offset, mask, weight, bias, stride=1, padding=k // 2,
+            deform_groups=self.deform_groups,
+        )
+
+
 class CrossFusionBlock(nn.Module):
     """x_tgt + gate * 1x1(x_src) (DecompModel_arch.py:57-66)."""
 
