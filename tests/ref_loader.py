@@ -20,6 +20,114 @@ def _exec(path, name):
     return mod
 
 
+def load_ref_network_module():
+    """Import the reference UNet_arch (torch) with stubbed heavy deps
+    (timm / fvcore / triton / CUDA exts are absent in this image)."""
+    import importlib
+    import logging
+
+    import torch
+    import torch.nn as tnn
+
+    # ---- tiny shims ------------------------------------------------------
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        timm_models = types.ModuleType("timm.models")
+        timm_layers = types.ModuleType("timm.models.layers")
+
+        class DropPath(tnn.Module):
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):
+                return x  # eval-time identity (configs use drop_path=0)
+
+        timm_layers.DropPath = DropPath
+        timm_layers.trunc_normal_ = lambda t, mean=0.0, std=1.0, a=-2.0, b=2.0: (
+            torch.nn.init.trunc_normal_(t, mean, std, a, b)
+        )
+        timm.models = timm_models
+        timm_models.layers = timm_layers
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = timm_models
+        sys.modules["timm.models.layers"] = timm_layers
+    if "fvcore" not in sys.modules:
+        fvcore = types.ModuleType("fvcore")
+        fvcore_nn = types.ModuleType("fvcore.nn")
+        for name in ("FlopCountAnalysis", "flop_count_str", "flop_count",
+                     "parameter_count"):
+            setattr(fvcore_nn, name, lambda *a, **k: None)
+        fvcore.nn = fvcore_nn
+        sys.modules["fvcore"] = fvcore
+        sys.modules["fvcore.nn"] = fvcore_nn
+
+    # ---- basicsr package skeleton ---------------------------------------
+    for name in list(sys.modules):
+        if name == "basicsr" or name.startswith("basicsr."):
+            del sys.modules[name]
+    pkg = types.ModuleType("basicsr")
+    pkg.__stub__ = True
+    pkg.__path__ = [f"{REF}/basicsr"]
+    sys.modules["basicsr"] = pkg
+
+    utils_pkg = types.ModuleType("basicsr.utils")
+    utils_pkg.__path__ = [f"{REF}/basicsr/utils"]
+    utils_pkg.get_root_logger = lambda *a, **k: logging.getLogger("ref")
+    sys.modules["basicsr.utils"] = utils_pkg
+    _exec(f"{REF}/basicsr/utils/registry.py", "basicsr.utils.registry")
+
+    archs_pkg = types.ModuleType("basicsr.archs")
+    archs_pkg.__path__ = [f"{REF}/basicsr/archs"]
+    sys.modules["basicsr.archs"] = archs_pkg
+    vmamba_pkg = types.ModuleType("basicsr.vmamba")
+    vmamba_pkg.__path__ = [f"{REF}/basicsr/vmamba"]
+    sys.modules["basicsr.vmamba"] = vmamba_pkg
+    models_pkg = types.ModuleType("basicsr.vmamba.models")
+    models_pkg.__path__ = [f"{REF}/basicsr/vmamba/models"]
+    sys.modules["basicsr.vmamba.models"] = models_pkg
+
+    # real 'vmamba' alias used by UNet_arch's try-import
+    vm_alias = types.ModuleType("vmamba")
+    vm_alias.__path__ = [f"{REF}/basicsr/vmamba"]
+    sys.modules["vmamba"] = vm_alias
+    vm_models_alias = types.ModuleType("vmamba.models")
+    vm_models_alias.__path__ = [f"{REF}/basicsr/vmamba/models"]
+    sys.modules["vmamba.models"] = vm_models_alias
+
+    # csm_triton.py decorates kernels with @triton.jit unconditionally even
+    # when its triton import failed (reference bug) — provide a stub
+    if "triton" not in sys.modules:
+        triton = types.ModuleType("triton")
+        triton.jit = lambda f=None, **kw: (f if f is not None else (lambda g: g))
+        tl = types.ModuleType("triton.language")
+        tl.constexpr = object
+        triton.language = tl
+        sys.modules["triton"] = triton
+        sys.modules["triton.language"] = tl
+
+    # the mamba2 SSD suite is triton-only and unused by the BEM configs
+    # (SS2Dm0, vmamba.py:1070-1157) — stub it out
+    mamba2_pkg = types.ModuleType("basicsr.vmamba.models.mamba2")
+    mamba2_pkg.__path__ = []
+    ssd_min = types.ModuleType("basicsr.vmamba.models.mamba2.ssd_minimal")
+    ssd_min.selective_scan_chunk_fn = None
+    mamba2_pkg.ssd_minimal = ssd_min
+    sys.modules["basicsr.vmamba.models.mamba2"] = mamba2_pkg
+    sys.modules["basicsr.vmamba.models.mamba2.ssd_minimal"] = ssd_min
+
+    # the reference's try/except import fallbacks use absolute module names;
+    # make them resolvable
+    models_dir = f"{REF}/basicsr/vmamba/models"
+    if models_dir not in sys.path:
+        sys.path.insert(0, models_dir)
+    vmamba_mod = importlib.import_module("basicsr.vmamba.models.vmamba")
+    sys.modules["vmamba.models.vmamba"] = vmamba_mod
+    importlib.import_module("basicsr.archs.arch_util")
+    unet = importlib.import_module("basicsr.archs.UNet_arch")
+    return unet
+
+
 def load_ref_metric_modules():
     """Returns dict with reference psnr_ssim / niqe / uciqe_uiqm modules."""
     if "basicsr" in sys.modules and not getattr(sys.modules["basicsr"], "__stub__", False):
