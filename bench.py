@@ -67,7 +67,7 @@ def main():
     cg_vars = jax.jit(cg.init)(jax.random.PRNGKey(0), cond_in)
     ie_vars = jax.jit(ie.init)(jax.random.PRNGKey(1), jnp.concatenate([img, img], -1))
 
-    K_CHUNK = 8  # IE K-batch per device pass (memory-bounded at full res)
+    K_CHUNK = 16  # IE K-batch per device pass
 
     def pipeline(key, img, cond_in):
         keys = jax.random.split(key, K)
@@ -88,20 +88,20 @@ def main():
         # on-device candidate reduction (brightness-proxy score + argmax)
         score = -jnp.abs(jnp.mean(preds.astype(jnp.float32), axis=(1, 2, 3)) - 0.5)
         best = jnp.argmax(score)
-        return preds[best]
+        # return a scalar so the timing loop forces a real device fetch
+        # (block_until_ready is a no-op on some remote TPU transports)
+        return jnp.mean(preds[best].astype(jnp.float32))
 
     fn = jax.jit(pipeline)
     key = jax.random.PRNGKey(42)
 
     # warmup / compile
-    out = fn(key, img, cond_in)
-    out.block_until_ready()
+    float(fn(key, img, cond_in))
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(jax.random.fold_in(key, i), img, cond_in)
-    out.block_until_ready()
+        float(fn(jax.random.fold_in(key, i), img, cond_in))
     dt = time.perf_counter() - t0
     ips = iters / dt
 
