@@ -20,6 +20,7 @@ from ..nn.layers import (
     LayerNorm2d,
     PReLU,
     pixel_shuffle,
+    pixel_shuffle_cf,
 )
 from ..ops.resize import resize_bilinear
 
@@ -30,13 +31,14 @@ class ConvDown(nn.Module):
     in_channels: int
     bayesian: bool = False
     sigma_init: float = 0.05
+    layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
         return Conv2d(
             self.in_channels * 2, kernel_size=4, strides=2, padding=1,
             use_bias=False, bayesian=self.bayesian, sigma_init=self.sigma_init,
-            name="conv",
+            data_format=self.layout, name="conv",
         )(x)
 
 
@@ -46,18 +48,28 @@ class PatchMerging(nn.Module):
     dim: int
     bayesian: bool = False
     sigma_init: float = 0.05
+    layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
-        x0 = x[:, 0::2, 0::2, :]
-        x1 = x[:, 1::2, 0::2, :]
-        x2 = x[:, 0::2, 1::2, :]
-        x3 = x[:, 1::2, 1::2, :]
-        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = LayerNorm2d(name="norm")(x)
+        if self.layout == "NCHW":
+            x0 = x[:, :, 0::2, 0::2]
+            x1 = x[:, :, 1::2, 0::2]
+            x2 = x[:, :, 0::2, 1::2]
+            x3 = x[:, :, 1::2, 1::2]
+            ax = 1
+        else:
+            x0 = x[:, 0::2, 0::2, :]
+            x1 = x[:, 1::2, 0::2, :]
+            x2 = x[:, 0::2, 1::2, :]
+            x3 = x[:, 1::2, 1::2, :]
+            ax = -1
+        x = jnp.concatenate([x0, x1, x2, x3], axis=ax)
+        x = LayerNorm2d(name="norm", axis=ax)(x)
         return Conv2d(
             2 * self.dim, kernel_size=1, padding=0, use_bias=False,
-            bayesian=self.bayesian, sigma_init=self.sigma_init, name="reduction",
+            bayesian=self.bayesian, sigma_init=self.sigma_init,
+            data_format=self.layout, name="reduction",
         )(x)
 
 
@@ -65,11 +77,12 @@ class DeconvUp(nn.Module):
     """deconv_up: 2x2 stride-2 transposed conv halving channels (UNet_arch.py:85-93)."""
 
     in_channels: int
+    layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
         return ConvTranspose2d(self.in_channels // 2, kernel_size=2, strides=2,
-                               name="deconv")(x)
+                               data_format=self.layout, name="deconv")(x)
 
 
 class DualUpSample(nn.Module):
@@ -77,24 +90,36 @@ class DualUpSample(nn.Module):
 
     in_channels: int
     scale_factor: int = 2
+    layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
         c = self.in_channels
         f = self.scale_factor
+        cf = self.layout == "NCHW"
+        ax = 1 if cf else -1
+        shuffle = pixel_shuffle_cf if cf else pixel_shuffle
+
+        def upsample2(t):
+            if cf:
+                B, C_, H, W = t.shape
+                return jax.image.resize(t, (B, C_, 2 * H, 2 * W), "linear")
+            return resize_bilinear(t, scale=2.0)
+
+        kw = dict(data_format=self.layout)
         if f == 2:
             # pixel-shuffle path
-            xp = Conv2d(2 * c, 1, padding=0, use_bias=False, name="up_p_conv1")(x)
+            xp = Conv2d(2 * c, 1, padding=0, use_bias=False, name="up_p_conv1", **kw)(x)
             xp = PReLU(name="up_p_prelu")(xp)
-            xp = pixel_shuffle(xp, 2)
-            xp = Conv2d(c // 2, 1, padding=0, use_bias=False, name="up_p_conv2")(xp)
+            xp = shuffle(xp, 2)
+            xp = Conv2d(c // 2, 1, padding=0, use_bias=False, name="up_p_conv2", **kw)(xp)
             # bilinear path
-            xb = Conv2d(c, 1, padding=0, name="up_b_conv1")(x)
+            xb = Conv2d(c, 1, padding=0, name="up_b_conv1", **kw)(x)
             xb = PReLU(name="up_b_prelu")(xb)
-            xb = resize_bilinear(xb, scale=2.0)
-            xb = Conv2d(c // 2, 1, padding=0, use_bias=False, name="up_b_conv2")(xb)
-            out = Conv2d(c // 2, 1, padding=0, use_bias=False, name="conv")(
-                jnp.concatenate([xp, xb], axis=-1)
+            xb = upsample2(xb)
+            xb = Conv2d(c // 2, 1, padding=0, use_bias=False, name="up_b_conv2", **kw)(xb)
+            out = Conv2d(c // 2, 1, padding=0, use_bias=False, name="conv", **kw)(
+                jnp.concatenate([xp, xb], axis=ax)
             )
         elif f == 4:
             xp = Conv2d(16 * c, 1, padding=0, use_bias=False, name="up_p_conv1")(x)

@@ -37,6 +37,7 @@ class BasicBlock(nn.Module):
     bayesian: bool = False
     sigma_init: float = 0.05
     scan_backend: Optional[str] = None
+    layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
@@ -56,6 +57,7 @@ class BasicBlock(nn.Module):
                 bayesian=self.bayesian,
                 sigma_init=self.sigma_init,
                 scan_backend=self.scan_backend,
+                layout=self.layout,
                 name=f"blocks_{i}",
             )(x)
             if self.sam:
@@ -78,9 +80,11 @@ class SubNetwork(nn.Module):
     bayesian: bool = False
     sigma_init: float = 0.05
     scan_backend: Optional[str] = None
+    layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
+        ch_axis = 1 if self.layout == "NCHW" else -1
         level = len(self.num_blocks) - 1
         d_state = self.d_state
         if isinstance(d_state, int):
@@ -94,6 +98,7 @@ class SubNetwork(nn.Module):
             bayesian=self.bayesian,
             sigma_init=self.sigma_init,
             scan_backend=self.scan_backend,
+            layout=self.layout,
         )
 
         fea = x
@@ -106,9 +111,11 @@ class SubNetwork(nn.Module):
             )(fea)
             skips.append(fea)
             if self.use_pixelshuffle:
-                fea = PatchMerging(curr_dim, bayesian=False, name=f"down_{i}")(fea)
+                fea = PatchMerging(curr_dim, bayesian=False, layout=self.layout,
+                                   name=f"down_{i}")(fea)
             else:
-                fea = ConvDown(curr_dim, bayesian=False, name=f"down_{i}")(fea)
+                fea = ConvDown(curr_dim, bayesian=False, layout=self.layout,
+                               name=f"down_{i}")(fea)
             curr_dim *= 2
 
         fea = BasicBlock(
@@ -118,12 +125,13 @@ class SubNetwork(nn.Module):
 
         for i in range(level):
             if self.use_pixelshuffle:
-                fea = DualUpSample(curr_dim, scale_factor=2, name=f"up_{i}")(fea)
+                fea = DualUpSample(curr_dim, scale_factor=2, layout=self.layout,
+                                   name=f"up_{i}")(fea)
             else:
-                fea = DeconvUp(curr_dim, name=f"up_{i}")(fea)
+                fea = DeconvUp(curr_dim, layout=self.layout, name=f"up_{i}")(fea)
             fea = Conv2d(curr_dim // 2, 1, padding=0, use_bias=False,
-                         name=f"fusion_{i}")(
-                jnp.concatenate([fea, skips[level - 1 - i]], axis=-1)
+                         data_format=self.layout, name=f"fusion_{i}")(
+                jnp.concatenate([fea, skips[level - 1 - i]], axis=ch_axis)
             )
             fea = BasicBlock(
                 dim=curr_dim // 2, num_blocks=self.num_blocks[level - 1 - i],
@@ -158,27 +166,40 @@ class Network(nn.Module):
     bayesian: bool = False
     sigma_init: float = 0.05
     scan_backend: Optional[str] = None
+    layout: str = "NHWC"  # 'NCHW': channel-first compute (W-minor, compact
+    # HBM for narrow channel counts); the public API stays NHWC.
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
+        cf = self.layout == "NCHW"
         outs = [x]
+        if cf:
+            x_in = jnp.transpose(x, (0, 3, 1, 2))
+        else:
+            x_in = x
         fea = Conv2d(
             self.n_feat, 3, padding=1, use_bias=True,
             kernel_init=inits.kaiming_normal(mode="fan_out", nonlinearity="linear"),
-            bias_init=inits.zeros,
+            bias_init=inits.zeros, data_format=self.layout,
             name="first_conv",
-        )(x)
+        )(x_in)
 
         # MIM masking (UNet_arch.py:402-403,464-467)
         mask_token = self.param(
             "mask_token", inits.trunc_normal(std=0.02), (1, 1, 1, self.n_feat)
         )
         if mask is not None:
-            w = mask[..., None].astype(fea.dtype)  # (B, H, W, 1)
-            fea = fea * (1.0 - w) + mask_token.astype(fea.dtype) * w
+            if cf:
+                w = mask[:, None].astype(fea.dtype)  # (B, 1, H, W)
+                tok = mask_token.reshape(1, self.n_feat, 1, 1).astype(fea.dtype)
+            else:
+                w = mask[..., None].astype(fea.dtype)  # (B, H, W, 1)
+                tok = mask_token.astype(fea.dtype)
+            fea = fea * (1.0 - w) + tok * w
 
         proj = Conv2d(self.out_channels, 3, padding=1, use_bias=True,
-                      bias_init=inits.zeros, name="proj")
+                      bias_init=inits.zeros, data_format=self.layout,
+                      name="proj")
         out = None
         for i in range(self.stage):
             fea = SubNetwork(
@@ -194,9 +215,12 @@ class Network(nn.Module):
                 bayesian=self.bayesian,
                 sigma_init=self.sigma_init,
                 scan_backend=self.scan_backend,
+                layout=self.layout,
                 name=f"subnets_{i}",
             )(fea)
             out = proj(fea)
+            if cf:
+                out = jnp.transpose(out, (0, 2, 3, 1))
             if self.last_act == "relu":
                 out = jax.nn.relu(out)
             elif self.last_act == "softmax":

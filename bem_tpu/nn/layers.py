@@ -65,8 +65,13 @@ class _BayesParamMixin:
 
 
 class Conv2d(nn.Module, _BayesParamMixin):
-    """NHWC conv. `padding` may be 'SAME'/'VALID', int, or pair; `reflect=True`
-    uses reflection padding (QD model3/4 ReflectionConvBlock)."""
+    """Conv with HWIO kernels. `padding` may be 'SAME'/'VALID', int, or pair;
+    `reflect=True` uses reflection padding (QD model3/4 ReflectionConvBlock).
+
+    data_format 'NHWC' (default) uses the XLA conv; 'NCHW' (channel-first,
+    W-minor — the TPU-compact layout for narrow channel counts) lowers to a
+    shifted-slice stencil of dense taps, sharing the SAME parameters.
+    """
 
     features: int
     kernel_size: Union[int, Tuple[int, int]] = 3
@@ -80,11 +85,13 @@ class Conv2d(nn.Module, _BayesParamMixin):
     bayesian: bool = False
     sigma_init: float = 0.05
     dtype: Optional[Dtype] = None
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         kh, kw = _pair(self.kernel_size)
-        in_ch = x.shape[-1]
+        cf = self.data_format == "NCHW"
+        in_ch = x.shape[1] if cf else x.shape[-1]
         assert in_ch % self.groups == 0, (in_ch, self.groups)
         kshape = (kh, kw, in_ch // self.groups, self.features)
         fan_in = (in_ch // self.groups) * kh * kw
@@ -102,6 +109,10 @@ class Conv2d(nn.Module, _BayesParamMixin):
             else:
                 bias = self.param("bias", b_init, (self.features,))
 
+        dtype = self.dtype or x.dtype
+        if cf:
+            return self._call_cf(x, kernel, bias, kh, kw, dtype)
+
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
@@ -113,7 +124,6 @@ class Conv2d(nn.Module, _BayesParamMixin):
             x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect")
             pad = "VALID"
 
-        dtype = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),
@@ -126,9 +136,60 @@ class Conv2d(nn.Module, _BayesParamMixin):
             y = y + bias.astype(dtype)
         return y
 
+    def _call_cf(self, x, kernel, bias, kh, kw, dtype):
+        """Channel-first stencil: y = sum_taps W[tap] applied to shifted x."""
+        B, C, H, W = x.shape
+        sh, sw = _pair(self.strides)
+        pad = self.padding
+        if pad == "SAME":
+            ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        elif pad == "VALID":
+            ph = pw = 0
+        elif isinstance(pad, int):
+            ph = pw = pad
+        else:
+            ph, pw = pad if isinstance(pad[0], int) else (pad[0][0], pad[1][0])
+        mode = "reflect" if self.reflect else "constant"
+        xp = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)), mode=mode).astype(dtype)
+        Ho = (H + 2 * ph - kh) // sh + 1
+        Wo = (W + 2 * pw - kw) // sw + 1
+        kernel = kernel.astype(dtype)
+
+        out = None
+        for dy in range(kh):
+            for dx in range(kw):
+                sl = xp[:, :, dy : dy + (Ho - 1) * sh + 1 : sh,
+                        dx : dx + (Wo - 1) * sw + 1 : sw]
+                w = kernel[dy, dx]  # (Cin/groups, Cout)
+                if self.groups == C and self.features == C:
+                    term = w[0][None, :, None, None] * sl  # depthwise
+                elif self.groups == 1:
+                    term = jnp.einsum("bchw,cd->bdhw", sl, w,
+                                      preferred_element_type=dtype)
+                else:
+                    g = self.groups
+                    cg = C // g
+                    og = self.features // g
+                    slg = sl.reshape(B, g, cg, Ho, Wo)
+                    wg = w.reshape(g, cg, og) if False else None
+                    # grouped: kernel (cg, Cout) with Cout split over groups
+                    term = jnp.einsum(
+                        "bgchw,gcd->bgdhw", slg,
+                        w.reshape(cg, g, og).transpose(1, 0, 2),
+                        preferred_element_type=dtype,
+                    ).reshape(B, self.features, Ho, Wo)
+                out = term if out is None else out + term
+        if bias is not None:
+            out = out + bias.astype(dtype)[None, :, None, None]
+        return out
+
 
 class ConvTranspose2d(nn.Module):
-    """NHWC transposed conv (reference deconv_up: k=2, s=2, UNet_arch.py:85-93)."""
+    """Transposed conv (reference deconv_up: k=2, s=2, UNet_arch.py:85-93).
+
+    data_format 'NCHW' supports only kernel == stride (the non-overlapping
+    k2s2 case every arch uses): each output 2x2 cell is a dense map of the
+    input pixel, interleaved by reshape."""
 
     features: int
     kernel_size: Union[int, Tuple[int, int]] = 2
@@ -136,16 +197,39 @@ class ConvTranspose2d(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = inits.torch_default_kernel
     dtype: Optional[Dtype] = None
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         kh, kw = _pair(self.kernel_size)
-        in_ch = x.shape[-1]
+        cf = self.data_format == "NCHW"
+        in_ch = x.shape[1] if cf else x.shape[-1]
         kshape = (kh, kw, in_ch, self.features)
         # torch fan_in for ConvTranspose counts out-channels side; use in_ch*k*k
         fan_in = in_ch * kh * kw
         kernel = self.param("kernel", self.kernel_init, kshape)
         dtype = self.dtype or x.dtype
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", inits.torch_default_bias(fan_in),
+                              (self.features,))
+        if cf:
+            sh, sw = _pair(self.strides)
+            assert (kh, kw) == (sh, sw), "NCHW conv_transpose needs k == s"
+            B, C, H, W = x.shape
+            # (kh, kw, B, O, H, W) per-tap dense maps
+            # conv_transpose places kernel taps mirrored relative to the
+            # output cell offsets (matches the NHWC lax.conv_transpose path)
+            taps = jnp.einsum("bchw,xyco->xybohw",
+                              x.astype(dtype),
+                              kernel[::-1, ::-1].astype(dtype),
+                              preferred_element_type=dtype)
+            # interleave: out[:, o, H*kh, W*kw]
+            y = jnp.transpose(taps, (2, 3, 4, 0, 5, 1))  # (B, O, H, kh, W, kw)
+            y = y.reshape(B, self.features, H * kh, W * kw)
+            if bias is not None:
+                y = y + bias.astype(dtype)[None, :, None, None]
+            return y
         y = jax.lax.conv_transpose(
             x.astype(dtype),
             kernel.astype(dtype),
@@ -153,14 +237,15 @@ class ConvTranspose2d(nn.Module):
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        if self.use_bias:
-            bias = self.param("bias", inits.torch_default_bias(fan_in), (self.features,))
+        if bias is not None:
             y = y + bias.astype(dtype)
         return y
 
 
 class Dense(nn.Module, _BayesParamMixin):
-    """Channels-last linear (== reference Linear2d applied as 1x1 conv, vmamba.py:42-51)."""
+    """Linear over the channel axis (== reference Linear2d applied as 1x1
+    conv, vmamba.py:42-51). axis=1 serves the channel-first layout with the
+    same (in, out) params."""
 
     features: int
     use_bias: bool = True
@@ -169,47 +254,62 @@ class Dense(nn.Module, _BayesParamMixin):
     bayesian: bool = False
     sigma_init: float = 0.05
     dtype: Optional[Dtype] = None
+    axis: int = -1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+        in_ch = x.shape[self.axis]
         kshape = (in_ch, self.features)
         if self.bayesian:
             kernel = self._bayes_weight("kernel", self.kernel_init, kshape, self.sigma_init)
         else:
             kernel = self.param("kernel", self.kernel_init, kshape)
         dtype = self.dtype or x.dtype
-        y = jnp.dot(x.astype(dtype), kernel.astype(dtype), preferred_element_type=dtype)
+        if self.axis in (-1, x.ndim - 1):
+            y = jnp.dot(x.astype(dtype), kernel.astype(dtype),
+                        preferred_element_type=dtype)
+        elif self.axis == 1 and x.ndim == 4:
+            y = jnp.einsum("bchw,cd->bdhw", x.astype(dtype),
+                           kernel.astype(dtype), preferred_element_type=dtype)
+        else:
+            raise NotImplementedError(f"Dense axis={self.axis} ndim={x.ndim}")
         if self.use_bias:
             b_init = self.bias_init or inits.torch_default_bias(in_ch)
             if self.bayesian:
                 bias = self._bayes_weight("bias", b_init, (self.features,), self.sigma_init)
             else:
                 bias = self.param("bias", b_init, (self.features,))
-            y = y + bias.astype(dtype)
+            b = bias.astype(dtype)
+            if self.axis == 1 and x.ndim == 4:
+                b = b[None, :, None, None]
+            y = y + b
         return y
 
 
 class LayerNorm2d(nn.Module):
     """LayerNorm over the channel axis. In NHWC this is a plain last-axis LN —
-    the reference needed permutes around it (vmamba.py:58-63); here it's free."""
+    the reference needed permutes around it (vmamba.py:58-63). axis=1 serves
+    the channel-first layout with the same (C,) params."""
 
     epsilon: float = 1e-5
     use_scale: bool = True
     use_bias: bool = True
+    axis: int = -1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         dtype = x.dtype
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        mean = jnp.mean(xf, axis=self.axis, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=self.axis, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        C = x.shape[-1]
+        C = x.shape[self.axis]
+        shape = [1] * x.ndim
+        shape[self.axis] = C
         if self.use_scale:
-            y = y * self.param("scale", inits.ones, (C,))
+            y = y * self.param("scale", inits.ones, (C,)).reshape(shape)
         if self.use_bias:
-            y = y + self.param("bias", inits.zeros, (C,))
+            y = y + self.param("bias", inits.zeros, (C,)).reshape(shape)
         return y.astype(dtype)
 
 
@@ -263,6 +363,16 @@ class PReLU(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         a = self.param("slope", inits.constant(self.init_slope), (1,))
         return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+
+
+def pixel_shuffle_cf(x: jax.Array, factor: int) -> jax.Array:
+    """(B, C*r^2, H, W) -> (B, C, H*r, W*r), torch PixelShuffle channel order."""
+    B, C, H, W = x.shape
+    r = factor
+    c = C // (r * r)
+    x = x.reshape(B, c, r, r, H, W)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))
+    return x.reshape(B, c, H * r, W * r)
 
 
 def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:

@@ -28,7 +28,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.cross_scan import cross_scan, cross_merge, cross_scan_cf, cross_merge_cf
+from ..ops.cross_scan import (
+    cross_scan,
+    cross_merge,
+    cross_scan_cf,
+    cross_merge_cf,
+    cross_scan_cf_input,
+    cross_merge_cf_output,
+)
 from ..ops.scan import selective_scan, default_backend
 from ..ops.scan_fused import selective_scan_fused
 from . import init as inits
@@ -88,15 +95,18 @@ class SS2D(nn.Module):
     sigma_init: float = 0.05
     scan_backend: Optional[str] = None
     dtype: Optional[Any] = None
+    layout: str = "NHWC"  # 'NCHW' = channel-first (W-minor), same params
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        """x: (B, H, W, d_model) -> (B, H, W, d_model)."""
+        """x: (B, H, W, d_model) or (B, d_model, H, W) -> same layout."""
         base, flags = parse_forward_type(self.forward_type)
         if base not in _SCAN_MODES:
             raise NotImplementedError(f"forward_type base {base!r}")
         scans = _SCAN_MODES[base]
         force_fp32 = _FORCE_FP32.get(base, False)
+        cf = self.layout == "NCHW"
+        ch_axis = 1 if cf else -1
 
         d_inner = int(self.ssm_ratio * self.d_model)
         R = math.ceil(self.d_model / 16) if self.dt_rank == "auto" else self.dt_rank
@@ -105,14 +115,18 @@ class SS2D(nn.Module):
         disable_z = flags["noz"]
         bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init)
 
-        B_, H, W, _ = x.shape
+        if cf:
+            B_, _, H, W = x.shape
+        else:
+            B_, H, W, _ = x.shape
         L = H * W
 
         # ---- in_proj (+ optional gate z) -----------------------------------
         d_proj = d_inner if disable_z else 2 * d_inner
-        xz = Dense(d_proj, use_bias=self.bias, name="in_proj", **bayes)(x)
+        xz = Dense(d_proj, use_bias=self.bias, name="in_proj", axis=ch_axis,
+                   **bayes)(x)
         if not disable_z:
-            xs_in, z = jnp.split(xz, 2, axis=-1)
+            xs_in, z = jnp.split(xz, 2, axis=ch_axis)
             if not flags["nozact"]:
                 z = jax.nn.silu(z)
         else:
@@ -127,6 +141,7 @@ class SS2D(nn.Module):
                 groups=d_inner,
                 use_bias=self.conv_bias,
                 name="conv2d",
+                data_format="NCHW" if cf else "NHWC",
                 **bayes,
             )(xs_in)
         xs_in = jax.nn.silu(xs_in)
@@ -158,7 +173,45 @@ class SS2D(nn.Module):
         A = -jnp.exp(A_logs.astype(jnp.float32))
         backend = self.scan_backend or default_backend()
         dtype = xs_in.dtype
-        if backend == "pallas":
+        if cf:
+            # fully channel-first: no layout changes at all around the scan
+            xs = cross_scan_cf_input(xs_in, scans=scans)  # (B, K, C, L)
+            x_dbl = jnp.einsum(
+                "bkcl,krc->bkrl", xs, x_proj_weight.astype(dtype),
+                preferred_element_type=dtype,
+            )
+            dts = jnp.einsum(
+                "bkrl,kdr->bkdl", x_dbl[:, :, :R], dt_projs_weight.astype(dtype),
+                preferred_element_type=dtype,
+            )
+            Bs = x_dbl[:, :, R : R + N]
+            Cs = x_dbl[:, :, R + N :]
+            if backend == "pallas":
+                ys = selective_scan_fused(
+                    xs, dts, A, Bs, Cs, D=Ds,
+                    delta_bias=dt_projs_bias.reshape(-1), delta_softplus=True,
+                )
+            else:
+                from ..ops.scan_fused import _reference_unfolded
+
+                M = B_ * K
+                ys = _reference_unfolded(
+                    xs.reshape(M, d_inner, L), dts.reshape(M, d_inner, L),
+                    jnp.broadcast_to(
+                        A.reshape(1, K, d_inner, N), (B_, K, d_inner, N)
+                    ).reshape(M, d_inner, N),
+                    Bs.reshape(M, N, L), Cs.reshape(M, N, L),
+                    jnp.broadcast_to(
+                        Ds.reshape(1, K, d_inner, 1), (B_, K, d_inner, 1)
+                    ).reshape(M, d_inner, 1),
+                    jnp.broadcast_to(
+                        dt_projs_bias.reshape(1, K, d_inner, 1),
+                        (B_, K, d_inner, 1),
+                    ).reshape(M, d_inner, 1),
+                    True,
+                ).reshape(B_, K, d_inner, L)
+            y = cross_merge_cf_output(ys.astype(dtype), H, W, scans=scans)
+        elif backend == "pallas":
             # channel-first (L-minor) pipeline: compact HBM layouts for the
             # narrow channel counts + fused scan kernel (ops/scan_fused.py)
             xs = cross_scan_cf(xs_in, scans=scans)  # (B, K, C, L)
@@ -212,28 +265,35 @@ class SS2D(nn.Module):
 
         # ---- out norm -------------------------------------------------------
         on = flags["out_norm"]
+        df = "NCHW" if cf else "NHWC"
         if on == "ln":
-            y = LayerNorm2d(name="out_norm")(y)
+            y = LayerNorm2d(name="out_norm", axis=ch_axis)(y)
         elif on == "none":
             pass
         elif on == "softmax":
-            y = jax.nn.softmax(y.reshape(B_, L, -1), axis=1).reshape(B_, H, W, -1)
+            if cf:
+                y = jax.nn.softmax(y.reshape(B_, -1, L), axis=-1).reshape(
+                    B_, -1, H, W)
+            else:
+                y = jax.nn.softmax(y.reshape(B_, L, -1), axis=1).reshape(
+                    B_, H, W, -1)
         elif on == "sigmoid":
             y = jax.nn.sigmoid(y)
         elif on == "dwconv3":
             y = Conv2d(d_inner, 3, padding=1, groups=d_inner, use_bias=False,
-                       name="out_norm")(y)
+                       name="out_norm", data_format=df)(y)
         elif on == "cnorm":
-            y = LayerNorm2d(name="out_norm")(y)
+            y = LayerNorm2d(name="out_norm", axis=ch_axis)(y)
             y = Conv2d(d_inner, 3, padding=1, groups=d_inner, use_bias=False,
-                       name="out_norm_conv")(y)
+                       name="out_norm_conv", data_format=df)(y)
         y = y.astype(x.dtype)
 
         if flags["oact"]:
             y = jax.nn.gelu(y)
         if not disable_z:
             y = y * z
-        out = Dense(self.d_model, use_bias=self.bias, name="out_proj", **bayes)(y)
+        out = Dense(self.d_model, use_bias=self.bias, name="out_proj",
+                    axis=ch_axis, **bayes)(y)
         if self.dropout > 0 and self.has_rng("dropout"):
             keep = 1.0 - self.dropout
             mask = jax.random.bernoulli(self.make_rng("dropout"), keep, out.shape)

@@ -25,14 +25,17 @@ class GDMlp(nn.Module):
     out_features: int
     bayesian: bool = False
     sigma_init: float = 0.05
+    layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init)
+        bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init,
+                     data_format=self.layout)
+        ax = 1 if self.layout == "NCHW" else -1
         h = self.hidden_features
         x = Conv2d(2 * h, kernel_size=1, padding=0, name="project_in", **bayes)(x)
         x = Conv2d(2 * h, kernel_size=3, padding=1, groups=2 * h, name="dwconv", **bayes)(x)
-        x1, x2 = jnp.split(x, 2, axis=-1)
+        x1, x2 = jnp.split(x, 2, axis=ax)
         x = jax.nn.gelu(x1) * x2
         return Conv2d(self.out_features, kernel_size=1, padding=0, name="project_out", **bayes)(x)
 
@@ -118,10 +121,12 @@ class VSSBlock(nn.Module):
     bayesian: bool = False
     sigma_init: float = 0.05
     scan_backend: Optional[str] = None
+    layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         ssm_branch = self.ssm_ratio > 0
+        ch_axis = 1 if self.layout == "NCHW" else -1
         mlp_branch = self.mlp_ratio > 0
         drop = DropPath(self.drop_path, name="drop_path")
 
@@ -139,6 +144,7 @@ class VSSBlock(nn.Module):
                 bayesian=self.bayesian,
                 sigma_init=self.sigma_init,
                 scan_backend=self.scan_backend,
+                layout=self.layout,
                 name="op",
             )
             if not self.grid_size:
@@ -161,20 +167,27 @@ class VSSBlock(nn.Module):
         # the flag is accepted for config parity but is a no-op here.
 
         if ssm_branch:
-            norm = LayerNorm2d(name="norm")
+            norm = LayerNorm2d(name="norm", axis=ch_axis)
             if self.post_norm:
                 x = x + drop(norm(run_op(x)))
             else:
                 x = x + drop(run_op(norm(x)))
         if mlp_branch:
-            norm2 = LayerNorm2d(name="norm2")
-            mlp = _MLPS[self.mlp_type](
+            norm2 = LayerNorm2d(name="norm2", axis=ch_axis)
+            mlp_kwargs = dict(
                 hidden_features=int(self.hidden_dim * self.mlp_ratio),
                 out_features=self.hidden_dim,
                 bayesian=self.bayesian,
                 sigma_init=self.sigma_init,
                 name="mlp",
             )
+            if self.mlp_type == "gdmlp":
+                mlp_kwargs["layout"] = self.layout
+            elif self.layout != "NHWC":
+                raise NotImplementedError(
+                    f"layout=NCHW with mlp_type={self.mlp_type}"
+                )
+            mlp = _MLPS[self.mlp_type](**mlp_kwargs)
             if self.post_norm:
                 x = x + drop(norm2(mlp(x)))
             else:

@@ -63,6 +63,42 @@ def cross_scan_cf(x: jax.Array, scans: int = 0) -> jax.Array:
     raise ValueError(f"unsupported scans mode: {scans}")
 
 
+def cross_scan_cf_input(x_cf: jax.Array, scans: int = 0) -> jax.Array:
+    """(B, C, H, W) channel-first input -> (B, 4, C, L) — no entry transpose."""
+    B, C, H, W = x_cf.shape
+    L = H * W
+    row = x_cf.reshape(B, C, L)
+    if scans == 0:
+        col = jnp.transpose(x_cf, (0, 1, 3, 2)).reshape(B, C, L)
+        return jnp.stack(
+            [row, col, jnp.flip(row, axis=-1), jnp.flip(col, axis=-1)], axis=1
+        )
+    if scans == 1:
+        return jnp.broadcast_to(row[:, None], (B, 4, C, L))
+    if scans == 2:
+        rev = jnp.flip(row, axis=-1)
+        return jnp.stack([row, row, rev, rev], axis=1)
+    raise ValueError(f"unsupported scans mode: {scans}")
+
+
+def cross_merge_cf_output(y: jax.Array, H: int, W: int, scans: int = 0) -> jax.Array:
+    """(B, 4, C, L) -> (B, C, H, W) summed, staying channel-first."""
+    B, K, C, L = y.shape
+    assert K == 4 and L == H * W
+    if scans == 0:
+        fwd = y[:, 0] + jnp.flip(y[:, 2], axis=-1)
+        colv = y[:, 1] + jnp.flip(y[:, 3], axis=-1)
+        col = jnp.transpose(colv.reshape(B, C, W, H), (0, 1, 3, 2)).reshape(B, C, L)
+        out = fwd + col
+    elif scans == 1:
+        out = jnp.sum(y, axis=1)
+    elif scans == 2:
+        out = y[:, 0] + y[:, 1] + jnp.flip(y[:, 2] + y[:, 3], axis=-1)
+    else:
+        raise ValueError(f"unsupported scans mode: {scans}")
+    return out.reshape(B, C, H, W)
+
+
 def cross_merge_cf(y: jax.Array, H: int, W: int, scans: int = 0) -> jax.Array:
     """(B, 4, C, L) channel-first outputs -> (B, H, W, C) summed."""
     B, K, C, L = y.shape

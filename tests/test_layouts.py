@@ -1,0 +1,53 @@
+"""Channel-first (NCHW) layout mode: parity with NHWC on shared params."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bem_tpu.archs import build_network
+from bem_tpu.nn.vss import VSSBlock
+
+
+def test_vssblock_layouts_match(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 12, 16)).astype(np.float32))
+    blk = VSSBlock(hidden_dim=16, mlp_ratio=2, scan_backend="xla")
+    v = jax.jit(blk.init)(jax.random.PRNGKey(0), x)
+    y = blk.apply(v, x)
+    blk_cf = VSSBlock(hidden_dim=16, mlp_ratio=2, scan_backend="xla",
+                      layout="NCHW")
+    y_cf = blk_cf.apply(v, jnp.transpose(x, (0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(y_cf, (0, 2, 3, 1))), np.asarray(y),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("use_pixelshuffle", [True, False])
+def test_network_layouts_match(rng, use_pixelshuffle):
+    x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    cfg = dict(type="Network", n_feat=8, num_blocks=[1, 1], d_state=[1, 1],
+               ssm_ratio=1, mlp_ratio=2, use_pixelshuffle=use_pixelshuffle,
+               scan_backend="xla")
+    net = build_network(dict(cfg))
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    y = net.apply(v, x)[-1]
+    net_cf = build_network(dict(cfg, layout="NCHW"))
+    y_cf = net_cf.apply(v, x)[-1]  # public API stays NHWC
+    np.testing.assert_allclose(np.asarray(y_cf), np.asarray(y),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_network_cf_mask_path(rng):
+    x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    mask = jnp.ones((1, 8, 8))
+    cfg = dict(type="Network", n_feat=8, num_blocks=[1, 1], d_state=[1, 1],
+               ssm_ratio=1, mlp_ratio=2, use_pixelshuffle=True,
+               scan_backend="xla")
+    net = build_network(dict(cfg))
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    net_cf = build_network(dict(cfg, layout="NCHW"))
+    y = net.apply(v, x, mask)[-1]
+    y_cf = net_cf.apply(v, x, mask)[-1]
+    np.testing.assert_allclose(np.asarray(y_cf), np.asarray(y),
+                               rtol=1e-4, atol=1e-5)
