@@ -159,13 +159,14 @@ def main(args_list=None):
         lpips_fn = LPIPS()
 
     # ---- the jitted per-image K-candidate pipeline -----------------------
+    # Stage I and Stage II are SEPARATE jits: one combined program at full
+    # resolution compiles far slower, and the Stage-II jit is reused across
+    # the parallel_num chunks.
     from functools import partial
 
     @partial(jax.jit, static_argnames=("use_gt_mean", "stochastic"))
-    def k_candidates(key, inp, cond_in, target_mean, use_gt_mean: bool,
-                     stochastic: bool):
-        hp, wp = inp.shape[1], inp.shape[2]
-
+    def cg_samples(key, cond_in, target_mean, use_gt_mean: bool,
+                   stochastic: bool):
         def one_cond(k):
             if stochastic:
                 pred = net.apply({"params": params}, cond_in,
@@ -180,14 +181,22 @@ def main(args_list=None):
         if use_gt_mean and cond_type != "histogram":
             mean_pred = conds.mean(axis=(1, 2), keepdims=True)
             conds = jnp.clip(conds * (target_mean / mean_pred), 0.0, 1.0)
-        conds = conds + noise_level * jax.random.normal(keys[0], conds.shape)
+        return conds + noise_level * jax.random.normal(keys[0], conds.shape)
 
-        up = resize_bilinear(conds, size=(hp, wp))
-        inp_k = jnp.broadcast_to(inp, (K,) + inp.shape[1:])
+    @jax.jit
+    def ie_chunk(inp, conds_chunk):
+        hp, wp = inp.shape[1], inp.shape[2]
+        up = resize_bilinear(conds_chunk, size=(hp, wp))
+        inp_k = jnp.broadcast_to(inp, (conds_chunk.shape[0],) + inp.shape[1:])
         x = jnp.concatenate([inp_k, up], axis=-1)
+        return cond_net.apply({"params": cond_params}, x)[-1]
+
+    def k_candidates(key, inp, cond_in, target_mean, use_gt_mean: bool,
+                     stochastic: bool):
+        conds = cg_samples(key, cond_in, target_mean, use_gt_mean, stochastic)
         preds = []
         for i in range(0, K, P):
-            preds.append(cond_net.apply({"params": cond_params}, x[i : i + P])[-1])
+            preds.append(ie_chunk(inp, conds[i : i + P]))
         return jnp.concatenate(preds, axis=0)
 
     psnr_l, ssim_l, lpips_l, niqe_l, uiqm_l, uciqe_l = [], [], [], [], [], []
