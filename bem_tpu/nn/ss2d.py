@@ -51,26 +51,33 @@ def parse_forward_type(forward_type: str):
         "nozact": False,
         "out_norm": "ln",
     }
-    for tag in ("_no32", "_oact", "_noz", "_nozact"):
-        if forward_type.endswith(tag):
-            flags[tag[1:]] = True
-            forward_type = forward_type[: -len(tag)]
-    for tag, name in (
+    out_norm_tags = (
         ("_onnone", "none"),
         ("_ondwconv3", "dwconv3"),
         ("_oncnorm", "cnorm"),
         ("_onsoftmax", "softmax"),
         ("_onsigmoid", "sigmoid"),
-    ):
-        if forward_type.endswith(tag):
-            flags["out_norm"] = name
-            forward_type = forward_type[: -len(tag)]
+    )
+    # strip trailing tags in any order until fixpoint
+    changed = True
+    while changed:
+        changed = False
+        for tag in ("_no32", "_oact", "_nozact", "_noz"):
+            if forward_type.endswith(tag):
+                flags[tag[1:]] = True
+                forward_type = forward_type[: -len(tag)]
+                changed = True
+        for tag, name in out_norm_tags:
+            if forward_type.endswith(tag):
+                flags["out_norm"] = name
+                forward_type = forward_type[: -len(tag)]
+                changed = True
     return forward_type, flags
 
 
 _SCAN_MODES = {
     "v01": 0, "v02": 0, "v03": 0, "v04": 0, "v05": 0, "v2": 0, "v3": 0,
-    "v051d": 1, "v052d": 2,
+    "v051d": 1, "v052d": 2, "v052dc": 3,
 }
 _FORCE_FP32 = {"v01": True, "v02": True, "v03": True, "v2": True}
 
@@ -173,7 +180,57 @@ class SS2D(nn.Module):
         A = -jnp.exp(A_logs.astype(jnp.float32))
         backend = self.scan_backend or default_backend()
         dtype = xs_in.dtype
-        if cf:
+        if scans == 3:
+            # cascade2d (vmamba.py:579-654): bidirectional row scan, LN,
+            # then bidirectional column scan; directions 0,1 carry the row
+            # projections and 2,3 the column projections.
+            if cf:
+                raise NotImplementedError("cascade2d with layout=NCHW")
+
+            def plain_ln(t):
+                tf = t.astype(jnp.float32)
+                m = jnp.mean(tf, axis=-1, keepdims=True)
+                v = jnp.var(tf, axis=-1, keepdims=True)
+                return ((tf - m) * jax.lax.rsqrt(v + 1e-5)).astype(t.dtype)
+
+            def scan_rowcol(t, k0, width):
+                # t: (B, H, W, D); k0 selects direction pair {0: rows, 2: cols}
+                if width:
+                    seq = t.reshape(-1, t.shape[2], d_inner)  # (B*H, W, D)
+                else:
+                    seq = jnp.transpose(t, (0, 2, 1, 3)).reshape(
+                        -1, t.shape[1], d_inner)  # (B*W, H, D)
+                Lr = seq.shape[1]
+                xs2 = jnp.stack([seq, jnp.flip(seq, axis=1)], axis=1)  # (M,2,L,D)
+                pw = x_proj_weight[k0 : k0 + 2].astype(seq.dtype)
+                x_dbl = jnp.einsum("mkld,kcd->mklc", xs2, pw,
+                                   preferred_element_type=seq.dtype)
+                dts2 = jnp.einsum(
+                    "mklr,kdr->mkld", x_dbl[..., :R],
+                    dt_projs_weight[k0 : k0 + 2].astype(seq.dtype),
+                    preferred_element_type=seq.dtype,
+                )
+                Bs2 = jnp.moveaxis(x_dbl[..., R : R + N], 1, 2)
+                Cs2 = jnp.moveaxis(x_dbl[..., R + N :], 1, 2)
+                u2 = jnp.moveaxis(xs2, 1, 2).reshape(-1, Lr, 2 * d_inner)
+                d2 = jnp.moveaxis(dts2, 1, 2).reshape(-1, Lr, 2 * d_inner)
+                A2 = A.reshape(K, d_inner, N)[k0 : k0 + 2].reshape(-1, N)
+                D2 = Ds.reshape(K, d_inner)[k0 : k0 + 2].reshape(-1)
+                b2 = dt_projs_bias[k0 : k0 + 2].reshape(-1)
+                y2 = selective_scan(u2, d2, A2, Bs2, Cs2, D=D2, delta_bias=b2,
+                                    delta_softplus=True, backend=backend)
+                y2 = y2.reshape(-1, Lr, 2, d_inner).sum(axis=2)  # merge fwd+rev
+                if width:
+                    return y2.reshape(B_, H, W, d_inner)
+                return jnp.transpose(
+                    y2.reshape(B_, W, H, d_inner), (0, 2, 1, 3)
+                )
+
+            xn = plain_ln(xs_in)  # added0510 to avoid nan (vmamba.py:632)
+            y_row = scan_rowcol(xn, 0, width=True).astype(dtype)
+            y_row = plain_ln(y_row)  # vmamba.py:643
+            y = scan_rowcol(y_row, 2, width=False).astype(jnp.float32)
+        elif cf:
             # fully channel-first: no layout changes at all around the scan
             xs = cross_scan_cf_input(xs_in, scans=scans)  # (B, K, C, L)
             x_dbl = jnp.einsum(
