@@ -20,11 +20,11 @@ def paired_random_crop(img_gts, img_lqs, gt_patch_size, scale, gt_path=None,
                        rng: np.random.Generator = None):
     """Paired random crop, HWC numpy (transforms.py:26-137)."""
     rng = rng or np.random.default_rng()
-    squeeze = not isinstance(img_gts, list)
-    if squeeze:
+    squeeze_gt = not isinstance(img_gts, list)
+    squeeze_lq = not isinstance(img_lqs, list)
+    if squeeze_gt:
         img_gts = [img_gts]
-        img_lqs = [img_lqs] if not isinstance(img_lqs, list) else img_lqs
-    if not isinstance(img_lqs, list):
+    if squeeze_lq:
         img_lqs = [img_lqs]
 
     h_lq, w_lq = img_lqs[0].shape[:2]
@@ -47,8 +47,10 @@ def paired_random_crop(img_gts, img_lqs, gt_patch_size, scale, gt_path=None,
         v[top_gt : top_gt + gt_patch_size, left_gt : left_gt + gt_patch_size, ...]
         for v in img_gts
     ]
-    if squeeze:
-        return img_gts[0], img_lqs[0]
+    if squeeze_gt:
+        img_gts = img_gts[0]
+    if squeeze_lq:
+        img_lqs = img_lqs[0]
     return img_gts, img_lqs
 
 
