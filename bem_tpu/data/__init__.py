@@ -26,6 +26,7 @@ from . import realesrgan_paired_dataset  # noqa: F401
 from . import gaussian_denoising_dataset  # noqa: F401
 from . import realesrgan_dataset  # noqa: F401
 from . import video_datasets  # noqa: F401
+from . import sid_image_dataset  # noqa: F401
 
 __all__ = ["build_dataset", "build_dataloader", "EnlargedSampler", "DataLoader",
            "CPUPrefetcher", "DevicePrefetcher"]
