@@ -8,9 +8,9 @@ Weights: torchvision is not available in zero-egress environments. The
 extractor loads converted weights from (in order):
   1. ``BEM_VGG19_WEIGHTS`` env var (a .npz of HWIO conv kernels), or
   2. ``~/.cache/bem_tpu/vgg19_features.npz``,
-  3. otherwise falls back to a fixed-seed He-initialized network and logs a
-     warning — random multiscale features still regularize textures, but for
-     strict parity supply real weights via tools/convert_vgg19.py.
+  3. otherwise RAISES — unless ``BEM_ALLOW_RANDOM_VGG=1`` explicitly opts
+     into fixed-seed He-initialized random features (useful for smoke tests,
+     never for parity). Convert real weights via tools/convert_vgg19.py.
 """
 
 from __future__ import annotations
@@ -47,10 +47,19 @@ def _load_vgg_weights() -> Dict[str, np.ndarray]:
         if os.path.exists(p):
             data = np.load(p)
             return {k: data[k] for k in data.files}
-    # fixed-seed random fallback
+    if os.environ.get("BEM_ALLOW_RANDOM_VGG") != "1":
+        # Fail loudly: every reference Option trains with 0.01*VGG19-conv5_4;
+        # silently substituting random features diverges the training
+        # objective by construction (basic_loss.py:147, vgg_arch.py:55).
+        raise FileNotFoundError(
+            "VGG19 feature weights not found. Convert them once with "
+            "tools/convert_vgg19.py (needs torchvision / egress) and point "
+            "BEM_VGG19_WEIGHTS at the .npz, or set BEM_ALLOW_RANDOM_VGG=1 to "
+            "explicitly opt into fixed-seed random features (NOT parity)."
+        )
     get_root_logger().warning(
-        "VGG19 weights not found (set BEM_VGG19_WEIGHTS); using fixed-seed "
-        "random features for the perceptual loss."
+        "BEM_ALLOW_RANDOM_VGG=1: using fixed-seed random VGG features for "
+        "the perceptual loss — results will not match the reference."
     )
     rng = np.random.default_rng(19)
     weights = {}

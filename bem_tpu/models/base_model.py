@@ -221,13 +221,56 @@ class BaseModel:
 
     def load_network(self, load_path: str, strict: bool = True, param_key: str = "params"):
         params = ckpt.load_params(load_path, param_key)
-        if strict:
-            # shape-check every leaf (reference _print_different_keys_loading,
-            # base_model.py:282-343)
-            ref = jax.tree_util.tree_leaves_with_path(self.state.params)
-            new = dict(jax.tree_util.tree_leaves_with_path(params))
+        # key/shape check of every leaf (reference _print_different_keys_loading
+        # + size-mismatch filtering, base_model.py:282-343)
+        ref = {
+            jax.tree_util.keystr(p): v.shape
+            for p, v in jax.tree_util.tree_leaves_with_path(self.state.params)
+        }
+        new = {
+            jax.tree_util.keystr(p): v.shape
+            for p, v in jax.tree_util.tree_leaves_with_path(params)
+        }
+        missing = sorted(set(ref) - set(new))
+        unexpected = sorted(set(new) - set(ref))
+        mismatched = sorted(
+            k for k in set(ref) & set(new) if tuple(ref[k]) != tuple(new[k])
+        )
+        for k in missing:
+            self.logger.warning(f"load_network: missing key {k}")
+        for k in unexpected:
+            self.logger.warning(f"load_network: unexpected key {k}")
+        for k in mismatched:
+            self.logger.warning(
+                f"load_network: size mismatch {k}: model {ref[k]} vs ckpt {new[k]}"
+            )
+        if strict and (missing or unexpected or mismatched):
+            raise ValueError(
+                f"load_network(strict=True) from {load_path}: "
+                f"{len(missing)} missing, {len(unexpected)} unexpected, "
+                f"{len(mismatched)} size-mismatched keys (see log)."
+            )
+        if not strict and (missing or unexpected or mismatched):
+            # non-strict: keep the current value for absent/mismatched leaves
+            # (reference pops size-mismatched keys before load_state_dict)
+            merged = jax.tree_util.tree_map_with_path(
+                lambda p, cur: (
+                    self._leaf_from(params, p)
+                    if jax.tree_util.keystr(p) in new
+                    and tuple(new[jax.tree_util.keystr(p)]) == tuple(cur.shape)
+                    else cur
+                ),
+                self.state.params,
+            )
+            params = merged
         self.state = self.state.replace(params=params)
         self.logger.info(f"Loaded network weights from {load_path} [{param_key}].")
+
+    @staticmethod
+    def _leaf_from(tree, path):
+        for k in path:
+            tree = tree[k.key if hasattr(k, "key") else k.idx]
+        return tree
 
     # ------------------------------------------------------------------- misc
     def get_current_log(self):

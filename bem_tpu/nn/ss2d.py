@@ -76,7 +76,7 @@ def parse_forward_type(forward_type: str):
 
 
 _SCAN_MODES = {
-    "v01": 0, "v02": 0, "v03": 0, "v04": 0, "v05": 0, "v2": 0, "v3": 0,
+    "v01": 0, "v02": 0, "v03": 0, "v04": 0, "v05": 0, "v2": 0,
     "v051d": 1, "v052d": 2, "v052dc": 3,
 }
 _FORCE_FP32 = {"v01": True, "v02": True, "v03": True, "v2": True}

@@ -130,8 +130,16 @@ class VSSBlock(nn.Module):
         mlp_branch = self.mlp_ratio > 0
         drop = DropPath(self.drop_path, name="drop_path")
 
+        # activation checkpointing (vmamba.py:1373-1377): remat the SS2D and
+        # MLP submodules so their activations are recomputed in backward —
+        # trades FLOPs for peak HBM at train time, no-op at inference
+        ss2d_cls = nn.remat(SS2D) if self.use_checkpoint else SS2D
+        mlp_cls = _MLPS[self.mlp_type]
+        if self.use_checkpoint:
+            mlp_cls = nn.remat(mlp_cls)
+
         def run_op(h):
-            op = SS2D(
+            op = ss2d_cls(
                 d_model=self.hidden_dim,
                 d_state=self.ssm_d_state,
                 ssm_ratio=self.ssm_ratio,
@@ -162,10 +170,6 @@ class VSSBlock(nn.Module):
             out = window_reverse(wins, ws, Hp, Wp)
             return out[:, :H, :W, :]
 
-        # use_checkpoint: rematerialization is handled at the train-step level
-        # with jax.checkpoint policies (SURVEY §2.9 "Activation checkpointing");
-        # the flag is accepted for config parity but is a no-op here.
-
         if ssm_branch:
             norm = LayerNorm2d(name="norm", axis=ch_axis)
             if self.post_norm:
@@ -187,7 +191,7 @@ class VSSBlock(nn.Module):
                 raise NotImplementedError(
                     f"layout=NCHW with mlp_type={self.mlp_type}"
                 )
-            mlp = _MLPS[self.mlp_type](**mlp_kwargs)
+            mlp = mlp_cls(**mlp_kwargs)
             if self.post_norm:
                 x = x + drop(norm2(mlp(x)))
             else:
