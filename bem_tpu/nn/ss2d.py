@@ -38,6 +38,7 @@ from ..ops.cross_scan import (
 )
 from ..ops.scan import selective_scan, default_backend
 from ..ops.scan_fused import selective_scan_fused
+from ..ops.ss2d_fused import ss2d_dir_fused
 from . import init as inits
 from .layers import Conv2d, Dense, LayerNorm2d, Identity
 
@@ -230,8 +231,31 @@ class SS2D(nn.Module):
             y_row = scan_rowcol(xn, 0, width=True).astype(dtype)
             y_row = plain_ln(y_row)  # vmamba.py:643
             y = scan_rowcol(y_row, 2, width=False).astype(jnp.float32)
+        elif backend == "pallas" and scans == 0:
+            # fully-fused SS2D core (ops/ss2d_fused.py): only the two base
+            # directional sequences are materialized; dt/B/C projections,
+            # the reversed directions, the scan and the direction-pair merge
+            # all happen inside one Pallas kernel
+            if cf:
+                xc = xs_in  # (B, C, H, W)
+            else:
+                xc = jnp.transpose(xs_in, (0, 3, 1, 2))
+            row = xc.reshape(B_, d_inner, L)
+            col = jnp.transpose(xc, (0, 1, 3, 2)).reshape(B_, d_inner, L)
+            xs2 = jnp.stack([row, col], axis=1)  # (B, 2, C, L)
+            y2 = ss2d_dir_fused(
+                xs2, x_proj_weight, dt_projs_weight, dt_projs_bias,
+                A.reshape(K, d_inner, N), Ds.reshape(K, d_inner),
+            )
+            y_row = y2[:, 0].reshape(B_, d_inner, H, W)
+            y_col = jnp.transpose(
+                y2[:, 1].reshape(B_, d_inner, W, H), (0, 1, 3, 2)
+            )
+            y = (y_row + y_col).astype(jnp.float32)  # (B, C, H, W)
+            if not cf:
+                y = jnp.transpose(y, (0, 2, 3, 1))
         elif cf:
-            # fully channel-first: no layout changes at all around the scan
+            # channel-first XLA composition (oracle path)
             xs = cross_scan_cf_input(xs_in, scans=scans)  # (B, K, C, L)
             x_dbl = jnp.einsum(
                 "bkcl,krc->bkrl", xs, x_proj_weight.astype(dtype),
@@ -269,8 +293,8 @@ class SS2D(nn.Module):
                 ).reshape(B_, K, d_inner, L)
             y = cross_merge_cf_output(ys.astype(dtype), H, W, scans=scans)
         elif backend == "pallas":
-            # channel-first (L-minor) pipeline: compact HBM layouts for the
-            # narrow channel counts + fused scan kernel (ops/scan_fused.py)
+            # non-cross2d scan modes: channel-first (L-minor) pipeline with
+            # the blockwise scan kernel (ops/scan_fused.py)
             xs = cross_scan_cf(xs_in, scans=scans)  # (B, K, C, L)
             x_dbl = jnp.einsum(
                 "bkcl,krc->bkrl", xs, x_proj_weight.astype(dtype),
