@@ -89,3 +89,31 @@ def paired_paths_from_lmdb(folders, keys):
     return [
         {f"{input_key}_path": k, f"{gt_key}_path": k} for k in sorted(input_keys)
     ]
+
+
+def paired_DP_paths_from_folder(folders, keys, filename_tmpl):
+    """Triple (lqL, lqR, gt) paths paired by GT stem (data_util.py:255-303)."""
+    assert len(folders) == 3 and len(keys) == 3
+    inputL_folder, inputR_folder, gt_folder = folders
+    inputL_paths = sorted(scandir(inputL_folder))
+    inputR_paths = sorted(scandir(inputR_folder))
+    gt_paths = sorted(scandir(gt_folder))
+    assert len(inputL_paths) == len(inputR_paths) == len(gt_paths), (
+        f"{keys} datasets have different number of images: "
+        f"{len(inputL_paths)}, {len(inputR_paths)}, {len(gt_paths)}."
+    )
+    paths = []
+    for idx, gt_path in enumerate(gt_paths):
+        basename, _ = osp.splitext(osp.basename(gt_path))
+        _, extL = osp.splitext(osp.basename(inputL_paths[idx]))
+        nameL = f"{filename_tmpl.format(basename)}{extL}"
+        assert nameL in inputL_paths, f"{nameL} is not in {keys[0]}_paths."
+        _, extR = osp.splitext(osp.basename(inputR_paths[idx]))
+        nameR = f"{filename_tmpl.format(basename)}{extR}"
+        assert nameR in inputR_paths, f"{nameR} is not in {keys[1]}_paths."
+        paths.append({
+            f"{keys[0]}_path": osp.join(inputL_folder, nameL),
+            f"{keys[1]}_path": osp.join(inputR_folder, nameR),
+            f"{keys[2]}_path": osp.join(gt_folder, gt_path),
+        })
+    return paths

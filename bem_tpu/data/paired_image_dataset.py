@@ -181,6 +181,133 @@ class Dataset_PairedImage_Mask(_PairedBase):
         return out
 
 
+@DATASET_REGISTRY.register()
+class Dataset_PairedImage_Slide(_PairedBase):
+    """Sliding-window patch dataset: each 400x600 image contributes a fixed
+    grid of (gt_size, stride) patches; index maps to (image, row, col)
+    deterministically (paired_image_dataset.py:416-562)."""
+
+    IMG_H, IMG_W = 400, 600  # hard-coded in the reference (:455)
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        stride = opt["stride"]
+        crop_size = opt["gt_size"]
+        self.patch_per_line = (self.IMG_W - crop_size) // stride + 1
+        self.patch_per_colum = (self.IMG_H - crop_size) // stride + 1
+        self.patch_per_img = self.patch_per_line * self.patch_per_colum
+
+    def __getitem__(self, index):
+        stride = self.opt["stride"]
+        crop_size = self.opt["gt_size"]
+        img_idx, patch_idx = divmod(index, self.patch_per_img)
+        h_idx, w_idx = divmod(patch_idx, self.patch_per_line)
+        img_idx = img_idx % len(self.paths)
+        img_gt, img_lq, gt_path, lq_path = self._load_pair(img_idx)
+        sl_h = slice(h_idx * stride, h_idx * stride + crop_size)
+        sl_w = slice(w_idx * stride, w_idx * stride + crop_size)
+        img_lq = img_lq[sl_h, sl_w, :]
+        img_gt = img_gt[sl_h, sl_w, :]
+        if self.opt["phase"] == "train":
+            # rotTimes/vFlip/hFlip applied identically to both (:494-547)
+            rot_times = int(self.rng.integers(0, 4))
+            vflip = int(self.rng.integers(0, 2))
+            hflip = int(self.rng.integers(0, 2))
+
+            def _aug(img):
+                for _ in range(rot_times):
+                    img = np.rot90(img, axes=(0, 1)).copy()
+                if vflip:
+                    img = img[:, ::-1, :].copy()
+                if hflip:
+                    img = img[::-1, :, :].copy()
+                return img
+            img_lq, img_gt = _aug(img_lq), _aug(img_gt)
+        return {
+            "lq": img2tensor(img_lq), "gt": img2tensor(img_gt),
+            "lq_path": lq_path, "gt_path": gt_path,
+        }
+
+    def __len__(self):
+        return len(self.paths) * self.patch_per_img
+
+
+@DATASET_REGISTRY.register()
+class Dataset_PairedImage_Norm(Dataset_PairedImage):
+    """Paired dataset whose LQ is min-max normalized to [0,1] after load
+    (paired_image_dataset.py:563-684, `img_lq = (lq-min)/(max-min)` :670)."""
+
+    def __getitem__(self, index):
+        out = super().__getitem__(index)
+        lq = out["lq"]
+        rng_span = lq.max() - lq.min()
+        out["lq"] = (lq - lq.min()) / (rng_span if rng_span > 0 else 1.0)
+        return out
+
+
+@DATASET_REGISTRY.register()
+class Dataset_DefocusDeblur_DualPixel_16bit:
+    """Dual-pixel defocus-deblur triples (lqL, lqR, gt) stored as 16-bit
+    images; emits lq = concat(lqL, lqR) over channels
+    (paired_image_dataset.py:828-915)."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.file_client = None
+        self.io_backend_opt = dict(opt["io_backend"])
+        self.mean = opt.get("mean")
+        self.std = opt.get("std")
+        self.filename_tmpl = opt.get("filename_tmpl", "{}")
+        self.rng = np.random.default_rng(opt.get("seed"))
+        from .data_util import paired_DP_paths_from_folder
+
+        self.paths = paired_DP_paths_from_folder(
+            [opt["dataroot_lqL"], opt["dataroot_lqR"], opt["dataroot_gt"]],
+            ["lqL", "lqR", "gt"], self.filename_tmpl,
+        )
+
+    def __getitem__(self, index):
+        from ..utils.img_util import imfrombytesDP, padding_DP
+
+        if self.file_client is None:
+            io_opt = dict(self.io_backend_opt)
+            self.file_client = FileClient(io_opt.pop("type"), **io_opt)
+        index = index % len(self.paths)
+        gt_path = self.paths[index]["gt_path"]
+        lqL_path = self.paths[index]["lqL_path"]
+        lqR_path = self.paths[index]["lqR_path"]
+        img_gt = imfrombytesDP(self.file_client.get(gt_path, "gt"), float32=True)
+        img_lqL = imfrombytesDP(self.file_client.get(lqL_path, "lqL"), float32=True)
+        img_lqR = imfrombytesDP(self.file_client.get(lqR_path, "lqR"), float32=True)
+
+        if self.opt["phase"] == "train":
+            gt_size = self.opt["gt_size"]
+            img_lqL, img_lqR, img_gt = padding_DP(img_lqL, img_lqR, img_gt, gt_size)
+            img_gt, (img_lqL, img_lqR) = paired_random_crop(
+                img_gt, [img_lqL, img_lqR], gt_size,
+                self.opt.get("scale", 1), gt_path, rng=self.rng,
+            )
+            if self.opt.get("geometric_augs"):
+                img_gt, img_lqL, img_lqR = random_augmentation(
+                    img_gt, img_lqL, img_lqR, rng=self.rng
+                )
+
+        img_gt = img2tensor(img_gt)
+        img_lqL = img2tensor(img_lqL)
+        img_lqR = img2tensor(img_lqR)
+        if self.mean is not None or self.std is not None:
+            mean = np.asarray(self.mean or 0.0, np.float32)
+            std = np.asarray(self.std or 1.0, np.float32)
+            img_gt = (img_gt - mean) / std
+            img_lqL = (img_lqL - mean) / std
+            img_lqR = (img_lqR - mean) / std
+        img_lq = np.concatenate([img_lqL, img_lqR], axis=-1)
+        return {"lq": img_lq, "gt": img_gt, "lq_path": lqL_path, "gt_path": gt_path}
+
+    def __len__(self):
+        return len(self.paths)
+
+
 @DATASET_REGISTRY.register(name="PairedImageDataset")
 class PairedImageDataset(Dataset_PairedImage):
     """BasicSR-era alias using augment() instead of random_augmentation

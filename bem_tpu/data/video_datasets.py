@@ -245,3 +245,238 @@ class VideoTestDataset:
 
     def __len__(self):
         return len(self.data_info["gt_path"])
+
+
+def generate_gaussian_kernel(kernel_size=13, sigma=1.6):
+    """Gaussian kernel for duf_downsample (data_util.py:340-355)."""
+    from scipy.ndimage import gaussian_filter
+
+    kernel = np.zeros((kernel_size, kernel_size))
+    kernel[kernel_size // 2, kernel_size // 2] = 1
+    return gaussian_filter(kernel, sigma)
+
+
+def duf_downsample(x: np.ndarray, kernel_size: int = 13, scale: int = 4):
+    """DUF-official Gaussian blur + stride-subsample (data_util.py:358-390).
+
+    Args:
+        x: frames, (T, H, W, C) channels-last float.
+    Returns (T, H/scale, W/scale, C).
+    """
+    assert scale in (2, 3, 4), f"Only support scale (2, 3, 4), but got {scale}."
+    pad = kernel_size // 2 + scale * 2
+    kern = generate_gaussian_kernel(kernel_size, 0.4 * scale).astype(x.dtype)
+    t, h, w, c = x.shape
+    xp = np.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    kh, kw = kern.shape
+    # strided conv per channel (host-side numpy; tiny test-time op)
+    oh = (xp.shape[1] - kh) // scale + 1
+    ow = (xp.shape[2] - kw) // scale + 1
+    out = np.empty((t, oh, ow, c), dtype=x.dtype)
+    sw = np.lib.stride_tricks.sliding_window_view(xp, (kh, kw), axis=(1, 2))
+    sw = sw[:, ::scale, ::scale]  # (T, oh, ow, C, kh, kw)
+    out = np.einsum("thwcij,ij->thwc", sw, kern)
+    return out[:, 2:-2, 2:-2]
+
+
+@DATASET_REGISTRY.register()
+class REDSRecurrentDataset:
+    """REDS clips for recurrent nets: num_frame consecutive frames at a
+    random temporal interval, same crop/augs across the window
+    (reds_dataset.py:209-352)."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.gt_root = opt["dataroot_gt"]
+        self.lq_root = opt["dataroot_lq"]
+        self.num_frame = opt["num_frame"]
+        with open(opt["meta_info_file"]) as f:
+            self.keys = []
+            for line in f:
+                folder, frame_num, _ = line.split(" ")
+                self.keys.extend(f"{folder}/{i:08d}" for i in range(int(frame_num)))
+        if opt.get("val_partition", "REDS4") == "REDS4":
+            val_partition = ["000", "011", "015", "020"]
+        elif opt["val_partition"] == "official":
+            val_partition = [f"{v:03d}" for v in range(240, 270)]
+        else:
+            raise ValueError(f"Wrong validation partition {opt['val_partition']}.")
+        if opt.get("test_mode"):
+            self.keys = [v for v in self.keys if v.split("/")[0] in val_partition]
+        else:
+            self.keys = [v for v in self.keys if v.split("/")[0] not in val_partition]
+        self.file_client = None
+        self.io_backend_opt = dict(opt["io_backend"])
+        self.interval_list = opt.get("interval_list", [1])
+        self.random_reverse = opt.get("random_reverse", False)
+        self.frames_per_clip = opt.get("frames_per_clip", 100)
+
+    def __getitem__(self, index):
+        if self.file_client is None:
+            io_opt = dict(self.io_backend_opt)
+            self.file_client = FileClient(io_opt.pop("type"), **io_opt)
+        scale = self.opt["scale"]
+        gt_size = self.opt["gt_size"]
+        clip_name, frame_name = self.keys[index].split("/")
+        interval = random.choice(self.interval_list)
+        start = int(frame_name)
+        limit = self.frames_per_clip - self.num_frame * interval
+        if start > limit:
+            start = random.randint(0, limit)
+        neighbors = list(range(start, start + self.num_frame * interval, interval))
+        if self.random_reverse and random.random() < 0.5:
+            neighbors.reverse()
+
+        img_lqs, img_gts = [], []
+        for n in neighbors:
+            lq_path = osp.join(self.lq_root, clip_name, f"{n:08d}.png")
+            gt_path = osp.join(self.gt_root, clip_name, f"{n:08d}.png")
+            img_lqs.append(imfrombytes(self.file_client.get(lq_path, "lq"), float32=True))
+            img_gts.append(imfrombytes(self.file_client.get(gt_path, "gt"), float32=True))
+        img_gts, img_lqs = paired_random_crop(img_gts, img_lqs, gt_size, scale, gt_path)
+        imgs = augment(img_lqs + img_gts, self.opt.get("use_hflip", True),
+                       self.opt.get("use_rot", True))
+        t = len(neighbors)
+        return {
+            "lq": np.stack([img2tensor(i) for i in imgs[:t]]),
+            "gt": np.stack([img2tensor(i) for i in imgs[t:]]),
+            "key": self.keys[index],
+        }
+
+    def __len__(self):
+        return len(self.keys)
+
+
+@DATASET_REGISTRY.register()
+class Vimeo90KRecurrentDataset(Vimeo90KDataset):
+    """Vimeo90K septuplets for recurrent nets: all 7 frames as both LQ and GT
+    sequences, optional sequence flip to 14 (vimeo90k_dataset.py:137-199)."""
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.flip_sequence = opt.get("flip_sequence", False)
+        self.neighbor_list = [1, 2, 3, 4, 5, 6, 7]
+
+    def __getitem__(self, index):
+        if self.file_client is None:
+            io_opt = dict(self.io_backend_opt)
+            self.file_client = FileClient(io_opt.pop("type"), **io_opt)
+        if self.random_reverse and random.random() < 0.5:
+            self.neighbor_list.reverse()
+        scale = self.opt["scale"]
+        gt_size = self.opt["gt_size"]
+        key = self.keys[index]
+        clip, seq = key.split("/")
+        img_lqs, img_gts = [], []
+        for n in self.neighbor_list:
+            lq_path = osp.join(self.lq_root, clip, seq, f"im{n}.png")
+            gt_path = osp.join(self.gt_root, clip, seq, f"im{n}.png")
+            img_lqs.append(imfrombytes(self.file_client.get(lq_path, "lq"), float32=True))
+            img_gts.append(imfrombytes(self.file_client.get(gt_path, "gt"), float32=True))
+        img_gts, img_lqs = paired_random_crop(img_gts, img_lqs, gt_size, scale, gt_path)
+        imgs = augment(img_lqs + img_gts, self.opt.get("use_hflip", True),
+                       self.opt.get("use_rot", True))
+        lq = np.stack([img2tensor(i) for i in imgs[:7]])
+        gt = np.stack([img2tensor(i) for i in imgs[7:]])
+        if self.flip_sequence:
+            lq = np.concatenate([lq, lq[::-1]], axis=0)
+            gt = np.concatenate([gt, gt[::-1]], axis=0)
+        return {"lq": lq, "gt": gt, "key": key}
+
+
+@DATASET_REGISTRY.register()
+class VideoTestVimeo90KDataset:
+    """Vimeo90K-Test: center frame GT with its neighbor window
+    (video_test_dataset.py:134-199)."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        if opt.get("cache_data"):
+            raise NotImplementedError(
+                "cache_data in Vimeo90K-Test dataset is not implemented.")
+        self.gt_root = opt["dataroot_gt"]
+        self.lq_root = opt["dataroot_lq"]
+        self.data_info = {"lq_path": [], "gt_path": [], "folder": [], "idx": [],
+                          "border": []}
+        neighbor_list = [i + (9 - opt["num_frame"]) // 2 for i in range(opt["num_frame"])]
+        with open(opt["meta_info_file"]) as fin:
+            subfolders = [line.split(" ")[0] for line in fin if line.strip()]
+        for idx, subfolder in enumerate(subfolders):
+            self.data_info["gt_path"].append(osp.join(self.gt_root, subfolder, "im4.png"))
+            self.data_info["lq_path"].append(
+                [osp.join(self.lq_root, subfolder, f"im{i}.png") for i in neighbor_list])
+            self.data_info["folder"].append("vimeo90k")
+            self.data_info["idx"].append(f"{idx}/{len(subfolders)}")
+            self.data_info["border"].append(0)
+
+    def __getitem__(self, index):
+        from ..utils.img_util import imread
+
+        lq_paths = self.data_info["lq_path"][index]
+        imgs_lq = np.stack([imread(p) for p in lq_paths])
+        img_gt = imread(self.data_info["gt_path"][index])
+        return {
+            "lq": imgs_lq,
+            "gt": img_gt,
+            "folder": self.data_info["folder"][index],
+            "idx": self.data_info["idx"][index],
+            "border": self.data_info["border"][index],
+            "lq_path": lq_paths[self.opt["num_frame"] // 2],
+        }
+
+    def __len__(self):
+        return len(self.data_info["gt_path"])
+
+
+@DATASET_REGISTRY.register()
+class VideoTestDUFDataset(VideoTestDataset):
+    """DUF test variant: optionally synthesizes LQ by Gaussian-blur
+    downsampling the GT window (video_test_dataset.py:202-249)."""
+
+    def __getitem__(self, index):
+        from ..utils.img_util import imread
+        from .transforms import mod_crop
+
+        folder = self.data_info["folder"][index]
+        idx, max_idx = map(int, self.data_info["idx"][index].split("/"))
+        select = generate_frame_indices(
+            idx, max_idx, self.opt["num_frame"],
+            padding=self.opt.get("padding", "reflection"),
+        )
+        scale = self.opt["scale"]
+        if self.opt.get("use_duf_downsampling"):
+            gt_frames = np.stack(
+                [mod_crop(imread(self.imgs_gt[folder][i]), scale) for i in select])
+            imgs_lq = duf_downsample(gt_frames, kernel_size=13, scale=scale)
+        else:
+            imgs_lq = np.stack([imread(self.imgs_lq[folder][i]) for i in select])
+        img_gt = mod_crop(imread(self.data_info["gt_path"][index]), scale)
+        return {
+            "lq": imgs_lq,
+            "gt": img_gt,
+            "folder": folder,
+            "idx": self.data_info["idx"][index],
+            "border": self.data_info["border"][index],
+            "lq_path": self.data_info["lq_path"][index],
+        }
+
+
+@DATASET_REGISTRY.register()
+class VideoRecurrentTestDataset(VideoTestDataset):
+    """Whole clips as single samples for recurrent nets
+    (video_test_dataset.py:252-290)."""
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.folders = sorted(set(self.data_info["folder"]))
+
+    def __getitem__(self, index):
+        from ..utils.img_util import imread
+
+        folder = self.folders[index]
+        imgs_lq = np.stack([imread(p) for p in self.imgs_lq[folder]])
+        imgs_gt = np.stack([imread(p) for p in self.imgs_gt[folder]])
+        return {"lq": imgs_lq, "gt": imgs_gt, "folder": folder}
+
+    def __len__(self):
+        return len(self.folders)

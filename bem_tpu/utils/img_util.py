@@ -32,6 +32,16 @@ def imfrombytes(content: bytes, flag: str = "color", float32: bool = False) -> n
     return img
 
 
+def imfrombytesDP(content: bytes, float32: bool = False) -> np.ndarray:
+    """Decode 16-bit image bytes (dual-pixel data) -> HWC array; float32
+    normalizes by 65535 (img_util.py:175-194)."""
+    img_np = np.frombuffer(content, np.uint8)
+    img = cv2.imdecode(img_np, cv2.IMREAD_UNCHANGED)
+    if float32:
+        img = img.astype(np.float32) / 65535.0
+    return img
+
+
 def img2tensor(img: np.ndarray, bgr2rgb: bool = True, float32: bool = True) -> np.ndarray:
     """BGR HWC [0,1] -> RGB HWC float32 (canonical NHWC; img_util.py:9-35)."""
     if img.ndim == 2:
@@ -86,3 +96,16 @@ def padding(img_lq: np.ndarray, img_gt: np.ndarray, gt_size: int):
     img_lq = cv2.copyMakeBorder(img_lq, 0, h_pad, 0, w_pad, cv2.BORDER_REFLECT)
     img_gt = cv2.copyMakeBorder(img_gt, 0, h_pad, 0, w_pad, cv2.BORDER_REFLECT)
     return img_lq, img_gt
+
+
+def padding_DP(img_lqL, img_lqR, img_gt, gt_size: int):
+    """Reflect-pad a dual-pixel triple up to gt_size (img_util.py:213-226)."""
+    h, w = img_gt.shape[:2]
+    h_pad = max(0, gt_size - h)
+    w_pad = max(0, gt_size - w)
+    if h_pad == 0 and w_pad == 0:
+        return img_lqL, img_lqR, img_gt
+    img_lqL = cv2.copyMakeBorder(img_lqL, 0, h_pad, 0, w_pad, cv2.BORDER_REFLECT)
+    img_lqR = cv2.copyMakeBorder(img_lqR, 0, h_pad, 0, w_pad, cv2.BORDER_REFLECT)
+    img_gt = cv2.copyMakeBorder(img_gt, 0, h_pad, 0, w_pad, cv2.BORDER_REFLECT)
+    return img_lqL, img_lqR, img_gt
