@@ -83,8 +83,13 @@ def _convert_ss2d(m: _Mapper, dst: str, src: str):
     m.linear(f"{dst}/in_proj", f"{src}.in_proj")
     if f"{src}.conv2d.weight" in m.sd or f"{src}.conv2d.mu_weight" in m.sd:
         m.conv(f"{dst}/conv2d", f"{src}.conv2d")
+    elif f"{src}.conv2d.1.weight" in m.sd:
+        # m0 wraps the conv in Sequential(Permute, Conv2d, Permute)
+        # (vmamba.py:1028-1040)
+        m.conv(f"{dst}/conv2d", f"{src}.conv2d.1")
     m.raw(f"{dst}/x_proj_weight", f"{src}.x_proj_weight")
-    m.raw(f"{dst}/dt_projs_weight", f"{src}.dt_projs_weight")
+    if f"{src}.dt_projs_weight" in m.sd:  # absent in m0 (mamba2) modules
+        m.raw(f"{dst}/dt_projs_weight", f"{src}.dt_projs_weight")
     m.raw(f"{dst}/dt_projs_bias", f"{src}.dt_projs_bias")
     m.raw(f"{dst}/A_logs", f"{src}.A_logs")
     m.raw(f"{dst}/Ds", f"{src}.Ds")

@@ -79,11 +79,21 @@ def parse_forward_type(forward_type: str):
 _SCAN_MODES = {
     "v01": 0, "v02": 0, "v03": 0, "v04": 0, "v05": 0, "v2": 0,
     "v051d": 1, "v052d": 2, "v052dc": 3,
+    # v0 (mamba-backend SS2D, vmamba.py:293-436): same cross2d math with
+    # forced fp32 and a always-gated z branch
+    "v0": 0, "v0seq": 0,
 }
-_FORCE_FP32 = {"v01": True, "v02": True, "v03": True, "v2": True}
+_FORCE_FP32 = {"v01": True, "v02": True, "v03": True, "v2": True,
+               "v0": True, "v0seq": True}
 
 
 class SS2D(nn.Module):
+    """See module docstring. ``forward_type`` selects the variant:
+    v0/v0seq (mamba-backend path, vmamba.py:293-436), v01-v05/v2 (+1d/2d/2dc
+    and flag postfixes, SS2Dv2, vmamba.py:437-766), m0 (mamba2/SSD,
+    SS2Dm0, vmamba.py:967-1157). v3/xv (SS2Dv3, vmamba.py:769-965) is
+    implemented for the xv1a/xv2a/xv3a modes."""
+
     d_model: int = 96
     d_state: int = 1
     ssm_ratio: float = 1.0
@@ -104,11 +114,20 @@ class SS2D(nn.Module):
     scan_backend: Optional[str] = None
     dtype: Optional[Any] = None
     layout: str = "NHWC"  # 'NCHW' = channel-first (W-minor), same params
+    # m0 (mamba2) extras (SS2Dm0.__initm0__, vmamba.py:967-1070)
+    chunk_size: int = 64
+    with_initial_state: bool = False
+    # activation between conv and scan / on z (reference SS2D dispatcher
+    # default act_layer=nn.SiLU, vmamba.py:1167; only the m0 path reads this
+    # — v0/v2 always use silu like the reference classes built via VSSBlock)
+    act_layer: str = "silu"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: (B, H, W, d_model) or (B, d_model, H, W) -> same layout."""
         base, flags = parse_forward_type(self.forward_type)
+        if base.startswith("m"):
+            return self._forward_m0(x, base, flags)
         if base not in _SCAN_MODES:
             raise NotImplementedError(f"forward_type base {base!r}")
         scans = _SCAN_MODES[base]
@@ -235,22 +254,42 @@ class SS2D(nn.Module):
             # fully-fused SS2D core (ops/ss2d_fused.py): only the two base
             # directional sequences are materialized; dt/B/C projections,
             # the reversed directions, the scan and the direction-pair merge
-            # all happen inside one Pallas kernel
+            # all happen inside one Pallas kernel. When the batch divides
+            # into groups, G images fold into the sublane dim (a pure
+            # reshape) so each grid step runs G-wide (ops/ss2d_fused_g.py).
+            from ..ops.ss2d_fused_g import pick_group, ss2d_dir_fused_g
+
             if cf:
                 xc = xs_in  # (B, C, H, W)
             else:
                 xc = jnp.transpose(xs_in, (0, 3, 1, 2))
-            row = xc.reshape(B_, d_inner, L)
-            col = jnp.transpose(xc, (0, 1, 3, 2)).reshape(B_, d_inner, L)
-            xs2 = jnp.stack([row, col], axis=1)  # (B, 2, C, L)
-            y2 = ss2d_dir_fused(
-                xs2, x_proj_weight, dt_projs_weight, dt_projs_bias,
-                A.reshape(K, d_inner, N), Ds.reshape(K, d_inner),
-            )
-            y_row = y2[:, 0].reshape(B_, d_inner, H, W)
-            y_col = jnp.transpose(
-                y2[:, 1].reshape(B_, d_inner, W, H), (0, 1, 3, 2)
-            )
+            G = pick_group(B_, d_inner)
+            if G > 1:
+                Bg = B_ // G
+                row = xc.reshape(Bg, G * d_inner, L)
+                col = jnp.transpose(xc, (0, 1, 3, 2)).reshape(
+                    Bg, G * d_inner, L)
+                xs2 = jnp.stack([row, col], axis=1)  # (Bg, 2, G*C, L)
+                y2 = ss2d_dir_fused_g(
+                    xs2, x_proj_weight, dt_projs_weight, dt_projs_bias,
+                    A.reshape(K, d_inner, N), Ds.reshape(K, d_inner), G,
+                )
+                y_row = y2[:, 0].reshape(B_, d_inner, H, W)
+                y_col = jnp.transpose(
+                    y2[:, 1].reshape(B_, d_inner, W, H), (0, 1, 3, 2)
+                )
+            else:
+                row = xc.reshape(B_, d_inner, L)
+                col = jnp.transpose(xc, (0, 1, 3, 2)).reshape(B_, d_inner, L)
+                xs2 = jnp.stack([row, col], axis=1)  # (B, 2, C, L)
+                y2 = ss2d_dir_fused(
+                    xs2, x_proj_weight, dt_projs_weight, dt_projs_bias,
+                    A.reshape(K, d_inner, N), Ds.reshape(K, d_inner),
+                )
+                y_row = y2[:, 0].reshape(B_, d_inner, H, W)
+                y_col = jnp.transpose(
+                    y2[:, 1].reshape(B_, d_inner, W, H), (0, 1, 3, 2)
+                )
             y = (y_row + y_col).astype(jnp.float32)  # (B, C, H, W)
             if not cf:
                 y = jnp.transpose(y, (0, 2, 3, 1))
@@ -375,6 +414,131 @@ class SS2D(nn.Module):
             y = y * z
         out = Dense(self.d_model, use_bias=self.bias, name="out_proj",
                     axis=ch_axis, **bayes)(y)
+        if self.dropout > 0 and self.has_rng("dropout"):
+            keep = 1.0 - self.dropout
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, out.shape)
+            out = jnp.where(mask, out / keep, 0.0)
+        return out
+
+    def _forward_m0(self, x: jax.Array, base: str, flags) -> jax.Array:
+        """mamba2/SSD forward (SS2Dm0, vmamba.py:967-1157): heads = K*R with
+        headdim d_inner/R; chunked SSD scan (ops/ssd.py) instead of the
+        per-channel selective scan; plain LN out-norm."""
+        from ..ops.ssd import ssd_chunk_scan
+
+        act = {"silu": jax.nn.silu, "gelu": jax.nn.gelu}[self.act_layer]
+
+        if base != "m0":
+            raise NotImplementedError(f"forward_type base {base!r}")
+        if self.layout == "NCHW":
+            raise NotImplementedError("m0 with layout=NCHW")
+
+        d_inner = int(self.ssm_ratio * self.d_model)
+        R = math.ceil(self.d_model / 16) if self.dt_rank == "auto" else self.dt_rank
+        if d_inner % R:
+            raise ValueError(f"d_inner {d_inner} not divisible by dt_rank {R}")
+        N = self.d_state
+        K = 4
+        Dh = d_inner // R  # headdim
+        B_, H, W, _ = x.shape
+        L = H * W
+        disable_z = flags["noz"]
+        bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init)
+
+        # ---- in_proj / conv / act (GELU for m0, vmamba.py:982) -------------
+        d_proj = d_inner if disable_z else 2 * d_inner
+        xz = Dense(d_proj, use_bias=self.bias, name="in_proj", **bayes)(x)
+        if not disable_z:
+            xs_in, z = jnp.split(xz, 2, axis=-1)
+            if not flags["nozact"]:
+                z = act(z)
+        else:
+            xs_in = xz
+        if self.d_conv > 1:
+            xs_in = Conv2d(d_inner, kernel_size=self.d_conv,
+                           padding=(self.d_conv - 1) // 2, groups=d_inner,
+                           use_bias=self.conv_bias, name="conv2d", **bayes)(xs_in)
+        xs_in = act(xs_in)
+
+        # ---- SSM params (initialize v1/v2, vmamba.py:1056-1066) ------------
+        x_proj_weight = self.param(
+            "x_proj_weight", inits.torch_default_kernel, (K, R + 2 * N, d_inner)
+        )
+        if self.initialize in ("v0", "v1"):
+            a_init = lambda k, s, d=jnp.float32: jax.random.normal(k, s, d)
+            b_init = lambda k, s, d=jnp.float32: 0.1 * jax.random.normal(k, s, d)
+        else:  # "v2"
+            a_init = inits.zeros
+            b_init = lambda k, s, d=jnp.float32: 0.1 * jax.random.uniform(k, s, d)
+        A_logs = self.param("A_logs", a_init, (K, R))
+        Ds = self.param("Ds", inits.ones, (K, R, Dh))
+        dt_projs_bias = self.param("dt_projs_bias", b_init, (K, R))
+
+        init_state = None
+        if self.with_initial_state:
+            state_var = self.variable(
+                "ssm_state", "initial_state",
+                lambda: jnp.zeros((1, K * R, Dh, N), jnp.float32),
+            )
+            init_state = jnp.broadcast_to(
+                state_var.value, (B_, K * R, Dh, N)
+            )
+
+        # ---- cross-scan -> projections -> SSD -> merge ---------------------
+        dtype = xs_in.dtype
+        xs = cross_scan(xs_in, scans=0)  # (B, K, L, d_inner)
+        x_dbl = jnp.einsum(
+            "bkld,kcd->bklc", xs, x_proj_weight.astype(dtype),
+            preferred_element_type=dtype,
+        )
+        dts = x_dbl[..., :R]                    # (B, K, L, R)
+        Bs = x_dbl[..., R : R + N]              # (B, K, L, N)
+        Cs = x_dbl[..., R + N :]
+
+        # heads: KR of headdim Dh (forward_corem0, vmamba.py:1100-1110)
+        xs_h = jnp.moveaxis(xs, 1, 2).reshape(B_, L, K * R, Dh)
+        dts_h = jnp.moveaxis(dts, 1, 2).reshape(B_, L, K * R)
+        Bs_h = jnp.moveaxis(Bs, 1, 2)           # (B, L, K, N) groups=K
+        Cs_h = jnp.moveaxis(Cs, 1, 2)
+        As = -jnp.exp(A_logs.astype(jnp.float32)).reshape(K * R)
+        ys, final_state = ssd_chunk_scan(
+            xs_h, dts_h, As, Bs_h, Cs_h, chunk_size=self.chunk_size,
+            D=Ds.astype(jnp.float32).reshape(K * R, Dh),
+            dt_bias=dt_projs_bias.astype(jnp.float32).reshape(K * R),
+            initial_states=init_state, dt_softplus=True,
+            return_final_states=True,
+        )
+        if (self.with_initial_state and not self.is_initializing()
+                and self.is_mutable_collection("ssm_state")):
+            state_var.value = jnp.sum(
+                final_state, axis=0, keepdims=True
+            ).astype(jnp.float32)
+        ys = jnp.moveaxis(ys.reshape(B_, L, K, d_inner), 2, 1)  # (B, K, L, D)
+        y = cross_merge(ys.astype(dtype), H, W, scans=0)  # (B, H, W, D)
+
+        # ---- out norm + gate + out_proj ------------------------------------
+        on = flags["out_norm"]
+        if on == "ln":
+            y = LayerNorm2d(name="out_norm")(y)
+        elif on == "none":
+            pass
+        elif on == "sigmoid":
+            y = jax.nn.sigmoid(y)
+        elif on == "softmax":
+            y = jax.nn.softmax(y.reshape(B_, L, -1), axis=1).reshape(B_, H, W, -1)
+        elif on == "dwconv3":
+            y = Conv2d(d_inner, 3, padding=1, groups=d_inner, use_bias=False,
+                       name="out_norm")(y)
+        elif on == "cnorm":
+            y = LayerNorm2d(name="out_norm")(y)
+            y = Conv2d(d_inner, 3, padding=1, groups=d_inner, use_bias=False,
+                       name="out_norm_conv")(y)
+        y = y.astype(x.dtype)
+        if flags["oact"]:
+            y = jax.nn.gelu(y)
+        if not disable_z:
+            y = y * z
+        out = Dense(self.d_model, use_bias=self.bias, name="out_proj", **bayes)(y)
         if self.dropout > 0 and self.has_rng("dropout"):
             keep = 1.0 - self.dropout
             mask = jax.random.bernoulli(self.make_rng("dropout"), keep, out.shape)

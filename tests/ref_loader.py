@@ -106,15 +106,27 @@ def load_ref_network_module():
         sys.modules["triton"] = triton
         sys.modules["triton.language"] = tl
 
-    # the mamba2 SSD suite is triton-only and unused by the BEM configs
-    # (SS2Dm0, vmamba.py:1070-1157) — stub it out
-    mamba2_pkg = types.ModuleType("basicsr.vmamba.models.mamba2")
-    mamba2_pkg.__path__ = []
-    ssd_min = types.ModuleType("basicsr.vmamba.models.mamba2.ssd_minimal")
-    ssd_min.selective_scan_chunk_fn = None
-    mamba2_pkg.ssd_minimal = ssd_min
-    sys.modules["basicsr.vmamba.models.mamba2"] = mamba2_pkg
-    sys.modules["basicsr.vmamba.models.mamba2.ssd_minimal"] = ssd_min
+    # the mamba2 Triton kernel suite can't run here, but ssd_minimal's pure
+    # torch path (mamba_chunk_scan_combined_torch) can: load the real module
+    # with triton hidden so WITH_TRITON=False and the torch backend is used
+    # (SS2Dm0 golden parity needs it, vmamba.py:1121)
+    if "basicsr.vmamba.models.mamba2" not in sys.modules:
+        saved_triton = sys.modules.pop("triton", None)
+        saved_tl = sys.modules.pop("triton.language", None)
+        try:
+            ssd_min = _exec(
+                f"{REF}/basicsr/vmamba/models/mamba2/ssd_minimal.py",
+                "basicsr.vmamba.models.mamba2.ssd_minimal",
+            )
+        finally:
+            if saved_triton is not None:
+                sys.modules["triton"] = saved_triton
+            if saved_tl is not None:
+                sys.modules["triton.language"] = saved_tl
+        mamba2_pkg = types.ModuleType("basicsr.vmamba.models.mamba2")
+        mamba2_pkg.__path__ = []
+        mamba2_pkg.ssd_minimal = ssd_min
+        sys.modules["basicsr.vmamba.models.mamba2"] = mamba2_pkg
 
     # the reference's try/except import fallbacks use absolute module names;
     # make them resolvable
