@@ -201,6 +201,7 @@ def main(args_list=None):
 
     psnr_l, ssim_l, lpips_l, niqe_l, uiqm_l, uciqe_l = [], [], [], [], [], []
     mc_psnr, mc_ssim = [], []
+    niqe_dev = {}  # per-shape jitted on-device NIQE scorer cache
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(args.seed)
 
@@ -249,7 +250,21 @@ def main(args_list=None):
             scores = clip_scorer(preds)  # higher better
             _idx = int(np.argmax(scores))
         elif args.no_ref == "niqe":
-            vals = [calculate_niqe(p[..., ::-1] * 255, crop_border=0) for p in preds]
+            # on-device batched NIQE (metrics/niqe_jax.py): the whole K-batch
+            # is scored in one compiled call instead of K host passes
+            # (reference scores on host, Enhancement/eval.py NIQE branch)
+            hh, ww = preds.shape[1], preds.shape[2]
+            if hh >= 96 and ww >= 96:
+                if niqe_dev.get("shape") != (hh, ww):
+                    from ..metrics.niqe_jax import niqe_batch_rgb
+
+                    niqe_dev["fn"] = jax.jit(
+                        niqe_batch_rgb(hh, ww, round_rgb=False))
+                    niqe_dev["shape"] = (hh, ww)
+                vals = np.asarray(niqe_dev["fn"](jnp.asarray(preds))).tolist()
+            else:  # too small for 96x96 blocks: host fallback, same as ref
+                vals = [calculate_niqe(p[..., ::-1] * 255, crop_border=0)
+                        for p in preds]
             _idx = int(np.argmin(vals))
             niqe_l.append(vals[_idx])
             scores = [-v for v in vals]
