@@ -112,3 +112,110 @@ def throughput(model: VSSM, batch: int = 64, size: int = 224, iters: int = 10):
     for _ in range(iters):
         float(f(params, x))
     return batch * iters / (time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------------
+# Config-driven entry (vmamba/main.py:50-104 parse_option + main:106-199)
+# ---------------------------------------------------------------------------
+
+
+def build_model_from_config(config) -> VSSM:
+    """MODEL.VSSM config subtree -> VSSM (vmamba/models/__init__.py
+    build_vssm_model field mapping)."""
+    v = config.MODEL.VSSM
+    return VSSM(
+        patch_size=v.PATCH_SIZE,
+        in_chans=v.IN_CHANS,
+        num_classes=config.MODEL.NUM_CLASSES,
+        depths=tuple(v.DEPTHS),
+        dims=v.EMBED_DIM,
+        ssm_d_state=v.SSM_D_STATE,
+        ssm_ratio=v.SSM_RATIO,
+        ssm_dt_rank=v.SSM_DT_RANK,
+        ssm_conv=v.SSM_CONV,
+        ssm_conv_bias=v.SSM_CONV_BIAS,
+        ssm_drop_rate=v.SSM_DROP_RATE,
+        ssm_init=v.SSM_INIT,
+        forward_type=v.SSM_FORWARDTYPE,
+        mlp_ratio=v.MLP_RATIO,
+        mlp_drop_rate=v.MLP_DROP_RATE,
+        gmlp=v.GMLP,
+        drop_path_rate=config.MODEL.DROP_PATH_RATE,
+        patch_norm=v.PATCH_NORM,
+        downsample_version=v.DOWNSAMPLE,
+        patchembed_version=v.PATCHEMBED,
+        posembed=v.POSEMBED,
+        imgsize=config.DATA.IMG_SIZE,
+    )
+
+
+def parse_option(args_list=None):
+    import argparse
+
+    p = argparse.ArgumentParser("VMamba classification", add_help=True)
+    p.add_argument("--cfg", type=str, metavar="FILE",
+                   help="path to config yaml")
+    p.add_argument("--opts", nargs="+", default=None,
+                   help="KEY VALUE override pairs")
+    p.add_argument("--batch-size", dest="batch_size", type=int)
+    p.add_argument("--data-path", dest="data_path", type=str)
+    p.add_argument("--zip", action="store_true")
+    p.add_argument("--cache-mode", dest="cache_mode", type=str)
+    p.add_argument("--pretrained", type=str)
+    p.add_argument("--resume", type=str)
+    p.add_argument("--accumulation-steps", dest="accumulation_steps", type=int)
+    p.add_argument("--use-checkpoint", dest="use_checkpoint",
+                   action="store_true")
+    p.add_argument("--disable_amp", action="store_true")
+    p.add_argument("--output", type=str)
+    p.add_argument("--tag", type=str)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--throughput", action="store_true")
+    args = p.parse_args(args_list)
+
+    from .config import get_config
+
+    return args, get_config(args)
+
+
+def main(args_list=None):
+    args, config = parse_option(args_list)
+    logger = get_root_logger()
+
+    model = build_model_from_config(config)
+    if config.THROUGHPUT_MODE:
+        ips = throughput(model, batch=config.DATA.BATCH_SIZE,
+                         size=config.DATA.IMG_SIZE)
+        logger.info(f"throughput: {ips:.1f} images/s")
+        return ips
+
+    from .data import build_loader
+
+    _, _, loader_train, loader_val, _ = build_loader(config)
+    steps_per_epoch = max(len(loader_train), 1)
+    example = np.zeros(
+        (1, config.DATA.IMG_SIZE, config.DATA.IMG_SIZE, 3), np.float32)
+    state, train_step, eval_step = make_trainer(
+        model, example,
+        total_steps=config.TRAIN.EPOCHS * steps_per_epoch,
+        base_lr=config.TRAIN.BASE_LR,
+        warmup_steps=config.TRAIN.WARMUP_EPOCHS * steps_per_epoch,
+        weight_decay=config.TRAIN.WEIGHT_DECAY,
+        label_smoothing=config.MODEL.LABEL_SMOOTHING,
+        seed=config.SEED,
+    )
+    if config.EVAL_MODE:
+        t1, t5 = validate(state.params, eval_step, loader_val)
+        logger.info(f"eval top1 {t1:.4f} top5 {t5:.4f}")
+        return t1, t5
+    for epoch in range(config.TRAIN.START_EPOCH, config.TRAIN.EPOCHS):
+        loader_train.set_epoch(epoch)
+        state, loss = train_one_epoch(state, train_step, loader_train)
+        t1, t5 = validate(state.params, eval_step, loader_val)
+        logger.info(
+            f"epoch {epoch}: loss {loss:.4f} top1 {t1:.4f} top5 {t5:.4f}")
+    return state
+
+
+if __name__ == "__main__":
+    main()
