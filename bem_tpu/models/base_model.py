@@ -153,7 +153,13 @@ class BaseModel:
         self.state, logs = self._train_step_fn(
             self.state, _arrays_only(batch), use_mask=use_mask
         )
-        return logs
+        # non-scalar aux entries (train-batch visuals) are kept aside for
+        # the driver's periodic dump, not logged as scalars
+        self.last_visuals = {
+            k[len("_visual_"):]: v for k, v in logs.items()
+            if k.startswith("_visual_")
+        }
+        return {k: v for k, v in logs.items() if not k.startswith("_visual_")}
 
     def _use_mask(self, batch) -> bool:
         # MIM mask is disabled after the first scheduler period
@@ -168,6 +174,22 @@ class BaseModel:
     def _train_step(self, state, batch, use_mask: bool):
         raise NotImplementedError
 
+    def sigma_logs(self) -> Dict[str, float]:
+        """Per-parameter BNN posterior sigma means, sigma = softplus(rho)
+        (reference train.py:200-205 'vars/<name>|sigma' tensorboard dump).
+        Empty for non-Bayesian models."""
+        from jax.tree_util import tree_flatten_with_path
+
+        out = {}
+        leaves, _ = tree_flatten_with_path(self.state.params)
+        for path, v in leaves:
+            keys = [str(getattr(k, "key", k)) for k in path]
+            if any(k.startswith("rho_") for k in keys):
+                tag = "|".join(keys).replace("rho_", "sigma_")
+                out[f"vars/{tag}"] = float(
+                    jnp.mean(jnp.abs(jax.nn.softplus(v))))
+        return out
+
     def _apply_updates(self, state, grads, aux):
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -177,6 +199,15 @@ class BaseModel:
             ema_params = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema_params, params)
         aux["grad_norm"] = optax.global_norm(grads)
         aux["lr"] = self.lr_schedule(state.step)
+        if self.opt.get("logger", {}).get("record_grad", False):
+            # per-parameter |grad| means (reference train.py:186-195 dumps
+            # grads/<name> scalars to tensorboard when record_grad)
+            from jax.tree_util import tree_flatten_with_path
+
+            leaves, _ = tree_flatten_with_path(grads)
+            for path, g in leaves:
+                tag = "|".join(str(getattr(k, "key", k)) for k in path)
+                aux[f"grads/{tag}"] = jnp.mean(jnp.abs(g))
         return state.replace(
             step=state.step + 1,
             params=params,

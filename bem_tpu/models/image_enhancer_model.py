@@ -90,6 +90,11 @@ class ImageEnhancer(BaseModel):
                 if l_style is not None:
                     total = total + l_style
             aux["l_total"] = total
+            # first sample of the train batch for the periodic visual dump
+            # (reference image_enhancer_model.py:193-197); non-scalar keys
+            # are stripped from the scalar logs by BaseModel.train_step
+            aux["_visual_pred"] = jnp.clip(preds[0], 0.0, 1.0)
+            aux["_visual_gt"] = gt[0]
             return total, aux
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -12,6 +12,8 @@ import os
 import time
 from os import path as osp
 
+import numpy as np
+
 from .data import (
     CPUPrefetcher,
     DevicePrefetcher,
@@ -21,6 +23,7 @@ from .data import (
 )
 from .models import build_model
 from .utils.checkpoint import find_latest_state
+from .utils.img_util import imwrite, tensor2img
 from .utils.logger import (
     AvgTimer,
     MessageLogger,
@@ -163,6 +166,22 @@ def train_pipeline(root_path, args_list=None):
                 }
                 logs.update({k: float(v) for k, v in log_vars.items()})
                 msg_logger(logs)
+                # BNN posterior sigma tracking (reference train.py:200-205)
+                if tb_logger is not None:
+                    for tag, val in model.sigma_logs().items():
+                        tb_logger.add_scalar(tag, val, current_iter)
+
+            # periodic train-batch visual dump (reference
+            # image_enhancer_model.py:193-197: train.png / train_gt.png)
+            if (current_iter % 100 == 0
+                    and getattr(model, "last_visuals", None)):
+                vis_dir = opt["path"].get("visualization", ".")
+                os.makedirs(vis_dir, exist_ok=True)
+                for name, arr in model.last_visuals.items():
+                    img = tensor2img(np.asarray(arr), rgb2bgr=True)
+                    imwrite(img, osp.join(
+                        vis_dir, "train.png" if name == "pred"
+                        else f"train_{name}.png"))
 
             if current_iter % opt["logger"]["save_checkpoint_freq"] == 0:
                 logger.info("Saving models and training states.")
