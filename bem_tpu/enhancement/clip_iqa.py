@@ -29,25 +29,60 @@ _PROMPT_PAIRS = {
 }
 
 
+_DEFAULT_NPZ = os.path.join(
+    os.path.dirname(__file__), "weights", "clip_iqa_vitb32.npz")
+
+
 class ClipIQA:
+    """Prefers the TPU-native flax scorer (enhancement/clip_flax.py): one
+    compiled vision-tower + prompt-pair program over the K batch, using the
+    converted bundle at ``BEM_CLIP_NPZ`` (default
+    enhancement/weights/clip_iqa_vitb32.npz, produced by
+    tools/convert_clip.py). Falls back to the host torch CLIP when only a
+    huggingface snapshot dir (``BEM_CLIP_DIR``) is available."""
+
     def __init__(self, prompts: Sequence[str] = ("brightness", "noisiness", "quality")):
+        self.prompts = list(prompts)
+        self.pairs = [_PROMPT_PAIRS[p] for p in self.prompts]
+        npz = os.environ.get("BEM_CLIP_NPZ", _DEFAULT_NPZ)
+        self._fn = None
+        if os.path.isfile(npz):
+            import jax
+
+            from .clip_flax import clip_iqa_score_fn, load_clip_iqa_npz
+
+            params, text_embeds, avail, scale = load_clip_iqa_npz(npz)
+            idx = []
+            for p in self.prompts:
+                if p not in avail:
+                    raise RuntimeError(
+                        f"prompt {p!r} not in converted bundle {npz} "
+                        f"(has {avail}); re-run tools/convert_clip.py")
+                idx += [2 * avail.index(p), 2 * avail.index(p) + 1]
+            self._fn = jax.jit(clip_iqa_score_fn(
+                params, text_embeds[idx], self.prompts, scale))
+            return
         clip_dir = os.environ.get("BEM_CLIP_DIR")
         if not clip_dir or not os.path.isdir(clip_dir):
             raise RuntimeError(
-                "CLIP-IQA needs CLIP weights: set BEM_CLIP_DIR to a local "
-                "HuggingFace snapshot of openai/clip-vit-base-patch32 "
-                "(zero-egress environments cannot download it). Use "
-                "--no_ref niqe or --no_ref uiqm_uciqe instead."
+                "CLIP-IQA needs CLIP weights: set BEM_CLIP_NPZ to a bundle "
+                "converted with tools/convert_clip.py (preferred, runs on "
+                "device) or BEM_CLIP_DIR to a local HuggingFace snapshot of "
+                "openai/clip-vit-base-patch32 (zero-egress environments "
+                "cannot download it). Use --no_ref niqe or "
+                "--no_ref uiqm_uciqe instead."
             )
         from transformers import CLIPModel, CLIPProcessor
 
         self.model = CLIPModel.from_pretrained(clip_dir)
         self.processor = CLIPProcessor.from_pretrained(clip_dir)
-        self.prompts = list(prompts)
-        self.pairs = [_PROMPT_PAIRS[p] for p in self.prompts]
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
         """images: (K, H, W, 3) RGB in [0,1] -> (K,) scores, higher better."""
+        if self._fn is not None:
+            import jax.numpy as jnp
+
+            return np.asarray(self._fn(jnp.asarray(images)))
         import torch
 
         texts = [t for pair in self.pairs for t in pair]
