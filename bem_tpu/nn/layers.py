@@ -86,6 +86,12 @@ class Conv2d(nn.Module, _BayesParamMixin):
     sigma_init: float = 0.05
     dtype: Optional[Dtype] = None
     data_format: str = "NHWC"
+    # for 1x1 convs: emit the opposite layout, folding the transpose into
+    # the projection matmul (one HBM pass instead of matmul + copy) — the
+    # mixed-layout bridge between the channel-first residual stream and
+    # NHWC inner segments (e.g. the 2*hidden gdMlp dwconv, which is
+    # lane-dense in NHWC)
+    out_format: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -110,6 +116,23 @@ class Conv2d(nn.Module, _BayesParamMixin):
                 bias = self.param("bias", b_init, (self.features,))
 
         dtype = self.dtype or x.dtype
+        flip = (self.out_format is not None
+                and self.out_format != self.data_format)
+        if flip:
+            assert (kh, kw) == (1, 1) and self.groups == 1, (
+                "out_format only supports 1x1 dense convs")
+            k = kernel.astype(dtype)[0, 0]
+            if cf:  # NCHW in -> NHWC out
+                y = jnp.einsum("bchw,cd->bhwd", x.astype(dtype), k,
+                               preferred_element_type=dtype)
+                if bias is not None:
+                    y = y + bias.astype(dtype)
+            else:  # NHWC in -> NCHW out
+                y = jnp.einsum("bhwc,cd->bdhw", x.astype(dtype), k,
+                               preferred_element_type=dtype)
+                if bias is not None:
+                    y = y + bias.astype(dtype)[None, :, None, None]
+            return y
         if cf:
             return self._call_cf(x, kernel, bias, kh, kw, dtype)
 

@@ -29,13 +29,26 @@ class GDMlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        h = self.hidden_features
+        if self.layout == "NCHW":
+            # mixed layout: the 2h-channel inner segment runs NHWC (2h is
+            # lane-dense and XLA's NHWC depthwise conv rides the MXU); the
+            # layout flips are folded into the 1x1 projections
+            bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init)
+            x = Conv2d(2 * h, kernel_size=1, padding=0, name="project_in",
+                       data_format="NCHW", out_format="NHWC", **bayes)(x)
+            x = Conv2d(2 * h, kernel_size=3, padding=1, groups=2 * h,
+                       name="dwconv", data_format="NHWC", **bayes)(x)
+            x1, x2 = jnp.split(x, 2, axis=-1)
+            x = jax.nn.gelu(x1) * x2
+            return Conv2d(self.out_features, kernel_size=1, padding=0,
+                          name="project_out", data_format="NHWC",
+                          out_format="NCHW", **bayes)(x)
         bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init,
                      data_format=self.layout)
-        ax = 1 if self.layout == "NCHW" else -1
-        h = self.hidden_features
         x = Conv2d(2 * h, kernel_size=1, padding=0, name="project_in", **bayes)(x)
         x = Conv2d(2 * h, kernel_size=3, padding=1, groups=2 * h, name="dwconv", **bayes)(x)
-        x1, x2 = jnp.split(x, 2, axis=ax)
+        x1, x2 = jnp.split(x, 2, axis=-1)
         x = jax.nn.gelu(x1) * x2
         return Conv2d(self.out_features, kernel_size=1, padding=0, name="project_out", **bayes)(x)
 
