@@ -12,6 +12,14 @@ from ...nn.layers import Conv2d, pixel_shuffle, pixel_unshuffle
 from .common import LayerNormLast
 
 
+def _gelu_exact(x):
+    # torch nn.GELU default is the exact erf form; jax.nn.gelu
+    # defaults to the tanh approximation (a ~1e-3 systematic
+    # parity error that compounds over deep stacks)
+    import jax
+    return jax.nn.gelu(x, approximate=False)
+
+
 def _l2norm(t, axis=-1):
     return t / jnp.maximum(jnp.linalg.norm(t, axis=axis, keepdims=True), 1e-12)
 
@@ -76,7 +84,7 @@ class DualGatedFFN(nn.Module):
         x = Conv2d(h * 2, 3, padding=1, groups=h * 2, use_bias=self.use_bias,
                    name="dwconv")(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
-        x = jax.nn.gelu(x2) * x1 + jax.nn.gelu(x1) * x2
+        x = _gelu_exact(x2) * x1 + _gelu_exact(x1) * x2
         return Conv2d(self.dim, 1, padding=0, use_bias=self.use_bias,
                       name="project_out")(x)
 

@@ -19,6 +19,14 @@ from ...nn.ss2d import SS2D
 from .common import LayerNormLast
 
 
+def _gelu_exact(x):
+    # torch nn.GELU default is the exact erf form; jax.nn.gelu
+    # defaults to the tanh approximation (a ~1e-3 systematic
+    # parity error that compounds over deep stacks)
+    import jax
+    return jax.nn.gelu(x, approximate=False)
+
+
 class ChannelAttention(nn.Module):
     """mambaIR.py:17-35."""
 
@@ -46,7 +54,7 @@ class CAB(nn.Module):
     def __call__(self, x):
         y = Conv2d(self.num_feat // self.compress_ratio, 3, padding=1,
                    name="conv1")(x)
-        y = jax.nn.gelu(y)
+        y = _gelu_exact(y)
         y = Conv2d(self.num_feat, 3, padding=1, name="conv2")(y)
         return ChannelAttention(self.num_feat, self.squeeze_factor,
                                 name="ca")(y)

@@ -12,6 +12,14 @@ from ...nn.layers import Conv2d, ConvTranspose2d, Dense
 from .common import LayerNormLast
 
 
+def _gelu_exact(x):
+    # torch nn.GELU default is the exact erf form; jax.nn.gelu
+    # defaults to the tanh approximation (a ~1e-3 systematic
+    # parity error that compounds over deep stacks)
+    import jax
+    return jax.nn.gelu(x, approximate=False)
+
+
 class IlluminationEstimator(nn.Module):
     """RetinexFormer.py:92-116."""
 
@@ -71,7 +79,7 @@ class IGMSA(nn.Module):
         vp = v.reshape(b, h, w, dh)
         vp = Conv2d(self.dim, 3, padding=1, groups=self.dim, use_bias=False,
                     name="pos1")(vp)
-        vp = jax.nn.gelu(vp)
+        vp = _gelu_exact(vp)
         vp = Conv2d(self.dim, 3, padding=1, groups=self.dim, use_bias=False,
                     name="pos2")(vp)
         return out_c + vp
@@ -87,9 +95,9 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         h = self.dim * self.mult
         x = Conv2d(h, 1, padding=0, use_bias=False, name="fc1")(x)
-        x = jax.nn.gelu(x)
+        x = _gelu_exact(x)
         x = Conv2d(h, 3, padding=1, groups=h, use_bias=False, name="dw")(x)
-        x = jax.nn.gelu(x)
+        x = _gelu_exact(x)
         return Conv2d(self.dim, 1, padding=0, use_bias=False, name="fc2")(x)
 
 

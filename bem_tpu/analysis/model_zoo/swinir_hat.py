@@ -20,6 +20,14 @@ from .common import LayerNormLast
 from .mambair import CAB
 
 
+def _gelu_exact(x):
+    # torch nn.GELU default is the exact erf form; jax.nn.gelu
+    # defaults to the tanh approximation (a ~1e-3 systematic
+    # parity error that compounds over deep stacks)
+    import jax
+    return jax.nn.gelu(x, approximate=False)
+
+
 def window_partition(x, ws):
     b, h, w, c = x.shape
     x = x.reshape(b, h // ws, ws, w // ws, ws, c)
@@ -117,7 +125,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = Dense(self.hidden_features, name="fc1")(x)
-        x = jax.nn.gelu(x)
+        x = _gelu_exact(x)
         return Dense(self.in_features, name="fc2")(x)
 
 

@@ -38,9 +38,20 @@ class BasicBlock(nn.Module):
     sigma_init: float = 0.05
     scan_backend: Optional[str] = None
     layout: str = "NHWC"
+    # run the VSSBlock sequence in a different compute layout than the
+    # surrounding U-Net plumbing (one transpose pair per sequence): the
+    # blocks' elementwise/LN/proj ops are lane-dense channel-first at
+    # narrow C while convs/up/down stay in XLA's preferred NHWC. Params
+    # are layout-independent (tests/test_layouts.py).
+    block_layout: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        inner = self.block_layout or self.layout
+        convert = inner != self.layout and not self.sam
+        if convert:
+            x = jnp.transpose(x, (0, 3, 1, 2) if inner == "NCHW"
+                              else (0, 2, 3, 1))
         for i in range(self.num_blocks):
             x = VSSBlock(
                 hidden_dim=self.dim,
@@ -57,11 +68,14 @@ class BasicBlock(nn.Module):
                 bayesian=self.bayesian,
                 sigma_init=self.sigma_init,
                 scan_backend=self.scan_backend,
-                layout=self.layout,
+                layout=inner if convert else self.layout,
                 name=f"blocks_{i}",
             )(x)
             if self.sam:
                 x = SAM(self.dim, name=f"sam_blocks_{i}")(x)
+        if convert:
+            x = jnp.transpose(x, (0, 2, 3, 1) if inner == "NCHW"
+                              else (0, 3, 1, 2))
         return x
 
 
@@ -81,6 +95,7 @@ class SubNetwork(nn.Module):
     sigma_init: float = 0.05
     scan_backend: Optional[str] = None
     layout: str = "NHWC"
+    block_layout: Optional[str] = None  # see BasicBlock.block_layout
 
     @nn.compact
     def __call__(self, x):
@@ -99,6 +114,7 @@ class SubNetwork(nn.Module):
             sigma_init=self.sigma_init,
             scan_backend=self.scan_backend,
             layout=self.layout,
+            block_layout=self.block_layout,
         )
 
         fea = x
@@ -168,6 +184,8 @@ class Network(nn.Module):
     scan_backend: Optional[str] = None
     layout: str = "NHWC"  # 'NCHW': channel-first compute (W-minor, compact
     # HBM for narrow channel counts); the public API stays NHWC.
+    block_layout: Optional[str] = None  # run VSSBlock sequences in this
+    # layout while the U-Net plumbing stays in `layout` (BasicBlock docs)
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -216,6 +234,7 @@ class Network(nn.Module):
                 sigma_init=self.sigma_init,
                 scan_backend=self.scan_backend,
                 layout=self.layout,
+                block_layout=self.block_layout,
                 name=f"subnets_{i}",
             )(fea)
             out = proj(fea)

@@ -43,6 +43,14 @@ from . import init as inits
 from .layers import Conv2d, Dense, LayerNorm2d, Identity
 
 
+def _gelu_exact(x):
+    # torch nn.GELU default is the exact erf form; jax.nn.gelu
+    # defaults to the tanh approximation (a ~1e-3 systematic
+    # parity error that compounds over deep stacks)
+    import jax
+    return jax.nn.gelu(x, approximate=False)
+
+
 def parse_forward_type(forward_type: str):
     """Split a reference forward_type string into (base, flags dict)."""
     flags = {
@@ -409,7 +417,7 @@ class SS2D(nn.Module):
         y = y.astype(x.dtype)
 
         if flags["oact"]:
-            y = jax.nn.gelu(y)
+            y = _gelu_exact(y)
         if not disable_z:
             y = y * z
         out = Dense(self.d_model, use_bias=self.bias, name="out_proj",
@@ -535,7 +543,7 @@ class SS2D(nn.Module):
                        name="out_norm_conv")(y)
         y = y.astype(x.dtype)
         if flags["oact"]:
-            y = jax.nn.gelu(y)
+            y = _gelu_exact(y)
         if not disable_z:
             y = y * z
         out = Dense(self.d_model, use_bias=self.bias, name="out_proj", **bayes)(y)

@@ -18,6 +18,14 @@ from .layers import Conv2d, Dense, DropPath, LayerNorm2d
 from .ss2d import SS2D
 
 
+def _gelu_exact(x):
+    # torch nn.GELU default is the exact erf form; jax.nn.gelu
+    # defaults to the tanh approximation (a ~1e-3 systematic
+    # parity error that compounds over deep stacks)
+    import jax
+    return jax.nn.gelu(x, approximate=False)
+
+
 class GDMlp(nn.Module):
     """Gated-dconv MLP: 1x1 -> dw3x3 -> chunk -> GELU(x1)*x2 -> 1x1."""
 
@@ -40,7 +48,7 @@ class GDMlp(nn.Module):
             x = Conv2d(2 * h, kernel_size=3, padding=1, groups=2 * h,
                        name="dwconv", data_format="NHWC", **bayes)(x)
             x1, x2 = jnp.split(x, 2, axis=-1)
-            x = jax.nn.gelu(x1) * x2
+            x = _gelu_exact(x1) * x2
             return Conv2d(self.out_features, kernel_size=1, padding=0,
                           name="project_out", data_format="NHWC",
                           out_format="NCHW", **bayes)(x)
@@ -49,7 +57,7 @@ class GDMlp(nn.Module):
         x = Conv2d(2 * h, kernel_size=1, padding=0, name="project_in", **bayes)(x)
         x = Conv2d(2 * h, kernel_size=3, padding=1, groups=2 * h, name="dwconv", **bayes)(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
-        x = jax.nn.gelu(x1) * x2
+        x = _gelu_exact(x1) * x2
         return Conv2d(self.out_features, kernel_size=1, padding=0, name="project_out", **bayes)(x)
 
 
@@ -63,7 +71,7 @@ class Mlp(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init)
         x = Dense(self.hidden_features, name="fc1", **bayes)(x)
-        x = jax.nn.gelu(x)
+        x = _gelu_exact(x)
         return Dense(self.out_features, name="fc2", **bayes)(x)
 
 
@@ -78,7 +86,7 @@ class GMlp(nn.Module):
         bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init)
         x = Dense(2 * self.hidden_features, name="fc1", **bayes)(x)
         x, z = jnp.split(x, 2, axis=-1)
-        return Dense(self.out_features, name="fc2", **bayes)(x * jax.nn.gelu(z))
+        return Dense(self.out_features, name="fc2", **bayes)(x * _gelu_exact(z))
 
 
 class FFNv02(nn.Module):
@@ -92,9 +100,9 @@ class FFNv02(nn.Module):
         bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init)
         h = self.hidden_features
         x = Conv2d(h, 1, padding=0, use_bias=False, name="net_0", **bayes)(x)
-        x = jax.nn.gelu(x)
+        x = _gelu_exact(x)
         x = Conv2d(h, 3, padding=1, groups=h, use_bias=False, name="net_2", **bayes)(x)
-        x = jax.nn.gelu(x)
+        x = _gelu_exact(x)
         return Conv2d(self.out_features, 1, padding=0, use_bias=False, name="net_4", **bayes)(x)
 
 

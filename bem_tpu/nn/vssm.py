@@ -20,6 +20,14 @@ from .layers import Conv2d, Dense, DropPath, LayerNorm2d
 from .vss import VSSBlock
 
 
+def _gelu_exact(x):
+    # torch nn.GELU default is the exact erf form; jax.nn.gelu
+    # defaults to the tanh approximation (a ~1e-3 systematic
+    # parity error that compounds over deep stacks)
+    import jax
+    return jax.nn.gelu(x, approximate=False)
+
+
 class PatchMerging2D(nn.Module):
     """2x2 space-to-channel + LN + linear reduction (vmamba.py:66-104)."""
 
@@ -85,7 +93,7 @@ class VSSM(nn.Module):
                        name="patch_embed_1")(x)
             if self.patch_norm:
                 x = LayerNorm2d(name="patch_norm_1")(x)
-            x = jax.nn.gelu(x)
+            x = _gelu_exact(x)
             x = Conv2d(dims[0], k, strides=stride, padding=1,
                        name="patch_embed_2")(x)
             if self.patch_norm:
