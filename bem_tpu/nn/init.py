@@ -27,9 +27,15 @@ def _conv_fans(shape):
 
 
 def torch_default_kernel(key, shape, dtype=jnp.float32):
-    """torch's Conv2d/Linear default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))."""
+    """torch's Conv2d/Linear default: kaiming_uniform(a=sqrt(5)).
+
+    bound = gain * sqrt(3/fan_in) with gain = sqrt(2/(1+5)) = sqrt(1/3),
+    i.e. exactly U(+-1/sqrt(fan_in)). (A stray sqrt(3) factor here made
+    every default-initialized kernel sqrt(3) too wide until round 2 — the
+    converted-checkpoint parity tests could not see it; the QD convergence
+    comparison did: 4x higher initial loss, 8 dB worse converged recon.)"""
     fan_in, _ = _conv_fans(shape)
-    bound = 1.0 / math.sqrt(fan_in) * math.sqrt(3.0)
+    bound = 1.0 / math.sqrt(fan_in)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 

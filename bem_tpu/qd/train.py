@@ -11,6 +11,7 @@ PSNR/SSIM of the Hamilton reconstruction (:292-318), checkpoint per epoch.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 from functools import partial
@@ -38,16 +39,21 @@ class QDTrainState(struct.PyTreeNode):
 
 
 def make_schedule(base_lr: float, total_epochs: int, steps_per_epoch: int,
-                  warmup_epochs: int = 5):
-    warmup = warmup_epochs * steps_per_epoch
-    total = total_epochs * steps_per_epoch
-    return optax.join_schedules(
-        [
-            optax.linear_schedule(base_lr * 0.1, base_lr, warmup),
-            optax.cosine_decay_schedule(base_lr, max(total - warmup, 1)),
-        ],
-        [warmup],
-    )
+                  warmup_epochs: int = 10, lr_min: float = 1e-7):
+    """Reference-exact LR (train2.py:203-211): LinearLR(start_factor=1.0)
+    keeps lr CONSTANT for warmup_epochs, then CosineAnnealingLR with
+    T_max = total - warmup, eta_min = lr_min; scheduler stepped once per
+    EPOCH with one extra step() before the loop (one-epoch phase shift)."""
+    t_max = max(total_epochs - warmup_epochs, 1)
+
+    def sched(step):
+        epoch = step // steps_per_epoch + 1  # the pre-loop scheduler.step()
+        cos_t = jnp.clip(epoch - warmup_epochs, 0, t_max)
+        return lr_min + (base_lr - lr_min) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * cos_t / t_max)
+        )
+
+    return sched
 
 
 def train_qd(
@@ -65,6 +71,7 @@ def train_qd(
     seed: int = 0,
     num_workers: int = 4,
     log_every: int = 50,
+    save_every: int = 1,
 ):
     logger = get_root_logger()
     dataset = PairDataset(low_dir, high_dir, patch_size=patch_size, train=True, seed=seed)
@@ -77,7 +84,8 @@ def train_qd(
     example = jnp.zeros((1, patch_size, patch_size, 3))
     params = jax.jit(net.init)(rng, example)["params"]
     schedule = make_schedule(lr, epochs, steps_per_epoch)
-    tx = optax.adamw(schedule, weight_decay=1e-4)
+    # torch AdamW default weight_decay=0.01 (train2.py:200)
+    tx = optax.adamw(schedule, weight_decay=0.01)
     state = QDTrainState(step=jnp.zeros((), jnp.int32), params=params,
                          opt_state=tx.init(params))
 
@@ -110,6 +118,7 @@ def train_qd(
                 calculate_ssim_jax(recon, img).mean())
 
     os.makedirs(out_dir, exist_ok=True)
+    history = []
     val_set = None
     if val_low_dir and val_high_dir:
         val_set = PairDataset(val_low_dir, val_high_dir, train=False)
@@ -117,15 +126,18 @@ def train_qd(
     for epoch in range(epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
+        ep_losses = []
         for i, batch in enumerate(loader):
             state, aux = train_step(
                 state, jnp.asarray(batch["low"]), jnp.asarray(batch["high"]),
                 recon_only=epoch < recon_only_epochs,
             )
+            ep_losses.append(float(aux["loss"]))
             if i % log_every == 0:
                 logger.info(
                     f"epoch {epoch} step {int(state.step)} loss {float(aux['loss']):.4f}"
                 )
+        rec = {"epoch": epoch, "loss": float(np.mean(ep_losses))}
         # per-epoch validation: reconstruction fidelity (train2.py:292-318)
         if val_set is not None:
             psnrs, ssims = [], []
@@ -140,9 +152,15 @@ def train_qd(
                 f"epoch {epoch}: recon PSNR {np.mean(psnrs):.2f} SSIM {np.mean(ssims):.4f} "
                 f"({time.time()-t0:.1f}s)"
             )
-        with open(os.path.join(out_dir, f"{model_type}_{epoch}.msgpack"), "wb") as f:
-            f.write(serialization.msgpack_serialize(jax.device_get(state.params)))
-    return state
+            rec["recon_psnr"] = float(np.mean(psnrs))
+            rec["recon_ssim"] = float(np.mean(ssims))
+        history.append(rec)
+        with open(os.path.join(out_dir, "history.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if (epoch + 1) % save_every == 0 or epoch == epochs - 1:
+            with open(os.path.join(out_dir, f"{model_type}_{epoch}.msgpack"), "wb") as f:
+                f.write(serialization.msgpack_serialize(jax.device_get(state.params)))
+    return state, history
 
 
 def main():
