@@ -4,6 +4,11 @@ MIM-style feature targets).
 
 Functional jnp version: per-channel Sobel-like gradients, soft orientation
 binning into ``nbins``, pooled over ``pool x pool`` cells, L2-normalized.
+
+VARIANT, not bit-parity: the reference uses a 1x3/3x1 gradient pair with
+signed HARD scatter binning and tiled per-window gaussian weighting
+(hog.py:24-88); this port uses soft unsigned binning and a separable
+gaussian profile. Equivalent as an MIM feature target, different numbers.
 """
 
 from __future__ import annotations

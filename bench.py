@@ -7,7 +7,13 @@ Bayesian samples — i.e. complete two-stage pipelines per second, each one:
      batch over K PRNG keys,
   3. upsample conditions x16, concat with the full-res input,
   4. K=16 Stage-II (IE U-Net) forwards == one K-batch,
-  5. on-device candidate reduction (argmax over a no-ref score proxy).
+  5. on-device candidate selection with the REAL no-reference scorer:
+     batched NIQE (metrics/niqe_jax.py) + argmin, all inside the same
+     compiled program (the reference scores NIQE on the host,
+     Enhancement/eval.py NIQE branch).
+
+Two images ride each pipeline call (NIMG=2): throughput-mode serving
+batch; images/sec divides accordingly.
 
 The reference protocol (Enhancement/eval.py:199-243) runs step 2 as K
 sequential CUDA forwards and step 4 in chunks of parallel_num; the TPU
@@ -59,6 +65,7 @@ def main():
     import jax.numpy as jnp
 
     from bem_tpu.archs import build_network
+    from bem_tpu.metrics.niqe_jax import niqe_batch_rgb
     from bem_tpu.ops.resize import resize_bilinear
 
     # flagship-size CG (bayesian) and IE nets (UNet_arch.py build_model defaults)
@@ -76,37 +83,43 @@ def main():
     Hp, Wp = H + ph, W + pw
     hc, wc = Hp // SCALE_DOWN, Wp // SCALE_DOWN
 
+    NIMG = 2  # images per pipeline call (throughput serving batch)
+
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.random((1, Hp, Wp, 3)), jnp.bfloat16)
-    cond_in = jnp.asarray(rng.random((1, hc, wc, 3)), jnp.bfloat16)
+    img = jnp.asarray(rng.random((NIMG, Hp, Wp, 3)), jnp.bfloat16)
+    cond_in = jnp.asarray(rng.random((NIMG, hc, wc, 3)), jnp.bfloat16)
 
-    cg_vars = jax.jit(cg.init)(jax.random.PRNGKey(0), cond_in)
-    ie_vars = jax.jit(ie.init)(jax.random.PRNGKey(1), jnp.concatenate([img, img], -1))
-
-    K_CHUNK = 16  # IE K-batch per device pass
+    cg_vars = jax.jit(cg.init)(jax.random.PRNGKey(0), cond_in[:1])
+    ie_vars = jax.jit(ie.init)(
+        jax.random.PRNGKey(1), jnp.concatenate([img[:1], img[:1]], -1))
+    # real no-reference scorer, on device (metrics/niqe_jax.py): the same
+    # NIQE the eval CLI uses for --no_ref niqe, scored on the CROPPED
+    # 400x600 candidates like the reference protocol
+    niqe_fn = niqe_batch_rgb(H, W, round_rgb=False)
 
     def pipeline(key, img, cond_in):
         keys = jax.random.split(key, K)
-        # Stage I: K Bayesian samples as one vmapped batch
+        # Stage I: K Bayesian samples as one vmapped batch over all images
         conds = jax.vmap(
             lambda k: cg.apply(cg_vars, cond_in, rngs={"bayes": k})[-1]
-        )(keys)  # (K, 1, hc, wc, 3)
-        conds = jnp.clip(conds, 0.0, 1.0).reshape(K, hc, wc, 3)
+        )(keys)  # (K, NIMG, hc, wc, 3)
+        conds = jnp.clip(conds, 0.0, 1.0).reshape(K * NIMG, hc, wc, 3)
         up = resize_bilinear(conds, size=(Hp, Wp)).astype(img.dtype)
         inp = jnp.concatenate(
-            [jnp.broadcast_to(img, (K, Hp, Wp, 3)), up], axis=-1
+            [jnp.broadcast_to(img[None], (K,) + img.shape).reshape(
+                K * NIMG, Hp, Wp, 3), up], axis=-1
         )
-        # Stage II in K chunks
-        outs = []
-        for i in range(0, K, K_CHUNK):
-            outs.append(ie.apply(ie_vars, inp[i : i + K_CHUNK])[-1])
-        preds = jnp.concatenate(outs, 0)
-        # on-device candidate reduction (brightness-proxy score + argmax)
-        score = -jnp.abs(jnp.mean(preds.astype(jnp.float32), axis=(1, 2, 3)) - 0.5)
-        best = jnp.argmax(score)
+        preds = ie.apply(ie_vars, inp)[-1]  # (K*NIMG, Hp, Wp, 3)
+        # on-device candidate selection: NIQE over the K candidates of each
+        # image (lower is better), like eval.py --no_ref niqe
+        cand = jnp.clip(
+            preds.reshape(K, NIMG, Hp, Wp, 3)[:, :, :H, :W, :], 0.0, 1.0)
+        scores = niqe_fn(cand.reshape(K * NIMG, H, W, 3)).reshape(K, NIMG)
+        best = jnp.argmin(scores, axis=0)  # (NIMG,)
+        sel = cand[best, jnp.arange(NIMG)]
         # return a scalar so the timing loop forces a real device fetch
         # (block_until_ready is a no-op on some remote TPU transports)
-        return jnp.mean(preds[best].astype(jnp.float32))
+        return jnp.mean(sel.astype(jnp.float32))
 
     fn = jax.jit(pipeline)
     key = jax.random.PRNGKey(42)
@@ -119,7 +132,7 @@ def main():
     for i in range(iters):
         float(fn(jax.random.fold_in(key, i), img, cond_in))
     dt = time.perf_counter() - t0
-    ips = iters / dt
+    ips = NIMG * iters / dt
 
     print(json.dumps({
         "metric": "LOLv1 600x400 images/sec/chip @ K=16 two-stage Bayesian",

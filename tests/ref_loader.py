@@ -102,6 +102,9 @@ def load_ref_network_module():
         triton.jit = lambda f=None, **kw: (f if f is not None else (lambda g: g))
         tl = types.ModuleType("triton.language")
         tl.constexpr = object
+        # torch._dynamo.utils probes triton.language.dtype at import time
+        # when any dynamo machinery initializes (e.g. clip_grad_norm_)
+        tl.dtype = type("dtype", (), {})
         triton.language = tl
         sys.modules["triton"] = triton
         sys.modules["triton.language"] = tl
