@@ -18,7 +18,17 @@ REF_SSD = "/root/reference/basicsr/vmamba/models/mamba2/ssd_minimal.py"
 
 @pytest.fixture(scope="module")
 def ref():
-    return _exec(REF_SSD, "ref_ssd_minimal")
+    # hide any triton stub other tests installed (ref_loader's): with a
+    # fake triton importable, ssd_minimal sets WITH_TRITON=True and dies
+    # importing its kernel siblings
+    import sys
+
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "triton" or k.startswith("triton.")}
+    try:
+        return _exec(REF_SSD, "ref_ssd_minimal")
+    finally:
+        sys.modules.update(saved)
 
 
 def _rand(*shape, seed=0, scale=1.0):
