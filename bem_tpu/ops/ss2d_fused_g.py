@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ss2d_fused import ss2d_dir_fused, _scan_matrices, SUB
+from .ss2d_fused import ss2d_dir_fused
 
 LBLK = 1024
 
@@ -48,25 +48,44 @@ def _softplus(x):
     return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
 
 
-def _seg_scan(a, b, reverse: bool):
-    """Within-SUB-segment inclusive doubling scan along lanes (axis 1)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, a.shape[1]), 1) % SUB
-    s = 1
-    while s < SUB:
-        if reverse:
-            mask = col >= SUB - s
-            a_sh = _roll(a, -s)
-            b_sh = _roll(b, -s)
-        else:
-            mask = col < s
-            a_sh = _roll(a, s)
-            b_sh = _roll(b, s)
-        a_sh = jnp.where(mask, 1.0, a_sh)
-        b_sh = jnp.where(mask, 0.0, b_sh)
-        b = a * b_sh + b
-        a = a * a_sh
-        s *= 2
-    return a, b
+SEG_ADD = 8      # additive-scan segment length
+W_CLAMP = -10.0  # per-lane log-decay clamp: exp(-10) = 4.5e-5 decay is an
+                 # effective state reset already; bounds the within-segment
+                 # log range to SEG_ADD*W_CLAMP = -80 so exp(+80)*b stays
+                 # inside fp32 (selective_scan_fwd_kernel_oflex.cuh keeps
+                 # fp32 state; same tolerance class as its expf pipeline)
+
+
+def _seg_scan_add(w, b, reverse: bool):
+    """Within-SEG_ADD-segment inclusive (a, b) scan via ADDITIVE doublings.
+
+    w = log-decay (dt*A, clamped), b = input. Instead of scanning the
+    (a, b) multiply-add monoid (7 VPU passes per doubling x log2(SUB)),
+    scan two ADDITIVE sequences (3 passes per doubling):
+      S = segwise-cumsum(w);  P = exp(S)        (within-seg decay products)
+      hseg = P * segwise-cumsum(b * exp(-S))    (within-seg scan output)
+    Returns (P, hseg) — same contract as _seg_scan on SEG_ADD segments.
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w.shape[1]), 1) % SEG_ADD
+
+    def cumsum_seg(x):
+        s = 1
+        y = x
+        while s < SEG_ADD:
+            if reverse:
+                mask = col >= SEG_ADD - s
+                y_sh = _roll(y, -s)
+            else:
+                mask = col < s
+                y_sh = _roll(y, s)
+            y = y + jnp.where(mask, 0.0, y_sh)
+            s *= 2
+        return y
+
+    S = cumsum_seg(w)
+    P = jnp.exp(S)
+    q = cumsum_seg(b * jnp.exp(-S))
+    return P, P * q
 
 
 def _small_scan(a, b, reverse: bool):
@@ -90,16 +109,15 @@ def _small_scan(a, b, reverse: bool):
     return a, b
 
 
-def _block_scan(a, b, E, Fb, reverse: bool):
-    """Two-level inclusive scan over LBLK lanes. The exclusive cross-segment
-    prefix is built at segment granularity (roll + border mask) and
-    broadcast to lanes with one direction-agnostic one-hot matmul Fb."""
-    nseg = a.shape[1] // SUB
-    a1, b1 = _seg_scan(a, b, reverse)
+def _block_scan_add(w, b, E, Fb, reverse: bool):
+    """Two-level inclusive scan over LBLK lanes with the ADDITIVE level-1
+    (_seg_scan_add, SEG_ADD segments); level 2 keeps the (a, b) monoid
+    doubling on the small (C', nseg) aggregates."""
+    nseg = w.shape[1] // SEG_ADD
+    a1, b1 = _seg_scan_add(w, b, reverse)
     a_seg = jnp.dot(a1, E, preferred_element_type=jnp.float32)  # (C', nseg)
     b_seg = jnp.dot(b1, E, preferred_element_type=jnp.float32)
     a_sc, b_sc = _small_scan(a_seg, b_seg, reverse)
-    # exclusive prefix per segment: shift by one seg, identity at the border
     col = jax.lax.broadcasted_iota(jnp.int32, (1, nseg), 1)
     if reverse:
         pa = _roll(a_sc, -1)
@@ -142,9 +160,9 @@ def _fwd_body(refs, GR: int, GN: int, N: int):
         for n in range(N):
             B_bc = jnp.dot(ebn[n], rows_B, preferred_element_type=jnp.float32)
             C_bc = jnp.dot(ecn[n], rows_C, preferred_element_type=jnp.float32)
-            a = jnp.exp(dt * A[0, :, n : n + 1])
+            w = jnp.maximum(dt * A[0, :, n : n + 1], W_CLAMP)
             b = du * B_bc
-            a_pref, b_pref = _block_scan(a, b, E[...], Fb, rev)
+            a_pref, b_pref = _block_scan_add(w, b, E[...], Fb, rev)
             h = a_pref * h_ref[:, n : n + 1] + b_pref
             # carry to the next block: h at each image's boundary lane
             a_end = jnp.dot(a_pref, Eend[...], preferred_element_type=jnp.float32)
@@ -201,10 +219,14 @@ def _run_fwd_g(xs2g, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N, lblk=LBLK):
     if Lp != L:
         xs2g = jnp.pad(xs2g, ((0, 0), (0, 0), (0, 0), (0, Lp - L)))
     nL = Lp // lblk
-    E_f, E_r, _, _ = _scan_matrices(lblk)
+    # segment-end extraction / prefix-broadcast one-hots at SEG_ADD
+    # granularity (the additive level-1 scan)
     i = np.arange(lblk)
-    sseg = np.arange(lblk // SUB)
-    Fb = jnp.asarray(((i[None, :] // SUB) == sseg[:, None]).astype(np.float32))
+    sseg = np.arange(lblk // SEG_ADD)
+    E_f = jnp.asarray(
+        (i[:, None] == (sseg[None, :] * SEG_ADD + SEG_ADD - 1)).astype(np.float32))
+    E_r = jnp.asarray((i[:, None] == (sseg[None, :] * SEG_ADD)).astype(np.float32))
+    Fb = jnp.asarray(((i[None, :] // SEG_ADD) == sseg[:, None]).astype(np.float32))
 
     # boundary-lane extraction (single image per lane range here: G on
     # sublanes, so the block boundary is just the last/first lane)
