@@ -61,7 +61,19 @@ WINDOW = 4 * SCALE_DOWN
 
 
 def main():
+    import os
+
+    # persistent compile cache: the remote-compile service on this host
+    # intermittently degrades to >10-minute compiles; the pipeline program
+    # is cached here from prior runs
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from bem_tpu.archs import build_network
