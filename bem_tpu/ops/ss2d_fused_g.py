@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .ss2d_fused import ss2d_dir_fused
 
-LBLK = 1024
+LBLK = 2048  # 22.9 -> 21.8 ms at GC=160 (sweep in PLAN.md)
 
 
 def _roll(x, shift, axis=1):
