@@ -47,6 +47,16 @@ def load_ref_network_module():
         timm_layers.trunc_normal_ = lambda t, mean=0.0, std=1.0, a=-2.0, b=2.0: (
             torch.nn.init.trunc_normal_(t, mean, std, a, b)
         )
+
+        def _to_2tuple(x):
+            import collections.abc
+            import itertools
+
+            if isinstance(x, collections.abc.Iterable) and not isinstance(x, str):
+                return tuple(x)
+            return tuple(itertools.repeat(x, 2))
+
+        timm_layers.to_2tuple = _to_2tuple
         timm.models = timm_models
         timm_models.layers = timm_layers
         sys.modules["timm"] = timm

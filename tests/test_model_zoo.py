@@ -185,6 +185,20 @@ def test_mambair_params():
     from ref_loader import load_ref_network_module
 
     load_ref_network_module()  # triton stubs for einops-decorated code
+    _stub_timm()  # mambaIR.py needs to_2tuple too
+    if "mamba_ssm" not in sys.modules:
+        # mambaIR imports the CUDA-only mamba_ssm scan symbols at module
+        # level; construction/param-counting never calls them
+        ms = types.ModuleType("mamba_ssm")
+        ops = types.ModuleType("mamba_ssm.ops")
+        ssi = types.ModuleType("mamba_ssm.ops.selective_scan_interface")
+        ssi.selective_scan_fn = None
+        ssi.selective_scan_ref = None
+        ms.ops = ops
+        ops.selective_scan_interface = ssi
+        sys.modules["mamba_ssm"] = ms
+        sys.modules["mamba_ssm.ops"] = ops
+        sys.modules["mamba_ssm.ops.selective_scan_interface"] = ssi
     ref = _load_ref("mambaIR")
     want = _torch_count(ref.buildMambaIR())
 
