@@ -136,21 +136,63 @@ def main():
     fn = jax.jit(pipeline)
     key = jax.random.PRNGKey(42)
 
-    # warmup / compile
-    float(fn(key, img, cond_in))
+    # ---- self-validating timing protocol (round-3 hardening) ----------------
+    # The remote-compile/tunnel path on this host intermittently degrades
+    # (first warmup has exceeded 10 minutes; individual dispatches can stall),
+    # which made a single mean-of-10 window under-report by 40% (BENCH_r02:
+    # 0.78 recorded vs 1.28 reproducible). Median of per-iter times over an
+    # adaptive run is robust to those outliers, and the JSON records enough
+    # to audit the number: per-iter spread, warmup time, iter count.
+    t_w0 = time.perf_counter()
+    float(fn(key, img, cond_in))  # compile + first dispatch
+    warmup_s = time.perf_counter() - t_w0
+    # warm-cache precheck: one more iter; if it is far from the steady state
+    # it still only costs its own slot in the median
+    float(fn(jax.random.fold_in(key, 999), img, cond_in))
 
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
+    times = []
+    budget_s = 150.0
+    min_iters, max_iters = 10, 40
+    t_bench0 = time.perf_counter()
+    i = 0
+    while True:
+        t0 = time.perf_counter()
         float(fn(jax.random.fold_in(key, i), img, cond_in))
-    dt = time.perf_counter() - t0
-    ips = NIMG * iters / dt
+        times.append(time.perf_counter() - t0)
+        i += 1
+        elapsed = time.perf_counter() - t_bench0
+        if i >= max_iters:
+            break
+        if i >= min_iters and elapsed > budget_s:
+            break
+        # outlier retry protocol: once the distribution is demonstrably
+        # tight, stop; if spread is still wide keep sampling (up to
+        # max_iters / full budget) so transient stalls cannot dominate
+        if i >= min_iters:
+            med = float(np.median(times))
+            spread = (np.percentile(times, 90) - np.percentile(times, 10)) / med
+            if spread < 0.05:
+                break
+            if elapsed > budget_s / 2 and spread < 0.10:
+                break
+
+    arr = np.asarray(times)
+    med = float(np.median(arr))
+    ips = NIMG / med
+    spread_pct = float(
+        100.0 * (np.percentile(arr, 90) - np.percentile(arr, 10)) / med)
 
     print(json.dumps({
         "metric": "LOLv1 600x400 images/sec/chip @ K=16 two-stage Bayesian",
         "value": round(ips, 4),
         "unit": "images/sec",
         "vs_baseline": round(ips / BASELINE_PIPELINES_PER_SEC, 3),
+        "iters": len(times),
+        "iter_ms_median": round(1e3 * med, 1),
+        "iter_ms_min": round(1e3 * float(arr.min()), 1),
+        "spread_p10_p90_pct": round(spread_pct, 1),
+        "warmup_s": round(warmup_s, 1),
+        "warm": bool(warmup_s < 60.0),
     }))
 
 
