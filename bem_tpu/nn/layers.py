@@ -377,6 +377,91 @@ class Identity(nn.Module):
         return x
 
 
+class DenseParams(nn.Module, _BayesParamMixin):
+    """Declares exactly Dense's parameter tree (incl. the Bayesian variant)
+    and returns the weight VALUES instead of applying them — the bridge that
+    lets a fused pallas kernel consume a submodule's parameters while the
+    checkpoint tree stays identical to the unfused :class:`Dense`."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = inits.torch_default_kernel
+    bias_init: Optional[Callable] = None
+    bayesian: bool = False
+    sigma_init: float = 0.05
+
+    @nn.compact
+    def __call__(self):
+        kshape = (self.in_features, self.features)
+        if self.bayesian:
+            kernel = self._bayes_weight("kernel", self.kernel_init, kshape,
+                                        self.sigma_init)
+        else:
+            kernel = self.param("kernel", self.kernel_init, kshape)
+        bias = None
+        if self.use_bias:
+            b_init = self.bias_init or inits.torch_default_bias(self.in_features)
+            if self.bayesian:
+                bias = self._bayes_weight("bias", b_init, (self.features,),
+                                          self.sigma_init)
+            else:
+                bias = self.param("bias", b_init, (self.features,))
+        return kernel, bias
+
+
+class Conv2dParams(nn.Module, _BayesParamMixin):
+    """Declares exactly Conv2d's parameter tree (HWIO kernel + bias, incl.
+    the Bayesian variant) and returns the VALUES (see :class:`DenseParams`)."""
+
+    in_features: int
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = inits.torch_default_kernel
+    bias_init: Optional[Callable] = None
+    bayesian: bool = False
+    sigma_init: float = 0.05
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = _pair(self.kernel_size)
+        kshape = (kh, kw, self.in_features // self.groups, self.features)
+        fan_in = (self.in_features // self.groups) * kh * kw
+        if self.bayesian:
+            kernel = self._bayes_weight("kernel", self.kernel_init, kshape,
+                                        self.sigma_init)
+        else:
+            kernel = self.param("kernel", self.kernel_init, kshape)
+        bias = None
+        if self.use_bias:
+            b_init = self.bias_init or inits.torch_default_bias(fan_in)
+            if self.bayesian:
+                bias = self._bayes_weight("bias", b_init, (self.features,),
+                                          self.sigma_init)
+            else:
+                bias = self.param("bias", b_init, (self.features,))
+        return kernel, bias
+
+
+class LayerNormParams(nn.Module):
+    """Declares LayerNorm2d's (scale, bias) and returns the values (see
+    :class:`DenseParams`)."""
+
+    features: int
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        scale = (self.param("scale", inits.ones, (self.features,))
+                 if self.use_scale else jnp.ones((self.features,), jnp.float32))
+        bias = (self.param("bias", inits.zeros, (self.features,))
+                if self.use_bias else jnp.zeros((self.features,), jnp.float32))
+        return scale, bias
+
+
 class PReLU(nn.Module):
     """Channel-shared PReLU (torch default: single learnable slope 0.25)."""
 

@@ -40,7 +40,8 @@ from ..ops.scan import selective_scan, default_backend
 from ..ops.scan_fused import selective_scan_fused
 from ..ops.ss2d_fused import ss2d_dir_fused
 from . import init as inits
-from .layers import Conv2d, Dense, LayerNorm2d, Identity
+from .layers import (Conv2d, Dense, DenseParams, LayerNorm2d,
+                     LayerNormParams, Identity)
 
 
 def _gelu_exact(x):
@@ -156,30 +157,54 @@ class SS2D(nn.Module):
             B_, H, W, _ = x.shape
         L = H * W
 
-        # ---- in_proj (+ optional gate z) -----------------------------------
-        d_proj = d_inner if disable_z else 2 * d_inner
-        xz = Dense(d_proj, use_bias=self.bias, name="in_proj", axis=ch_axis,
-                   **bayes)(x)
-        if not disable_z:
-            xs_in, z = jnp.split(xz, 2, axis=ch_axis)
-            if not flags["nozact"]:
-                z = jax.nn.silu(z)
-        else:
-            xs_in = xz
+        # the fully-fused CF serving path (split-direction scan kernels +
+        # fused tail) also fuses the stem: in_proj + dwconv + silu run as one
+        # pallas program (ops/gdmlp_fused.py stem_fused_cf)
+        backend = self.scan_backend or default_backend()
+        fused_cf = (cf and backend == "pallas" and scans == 0
+                    and flags["out_norm"] == "ln" and disable_z
+                    and not flags["oact"])
+        z = None
 
-        # ---- depthwise conv + act ------------------------------------------
-        if self.d_conv > 1:
-            xs_in = Conv2d(
-                d_inner,
-                kernel_size=self.d_conv,
-                padding=(self.d_conv - 1) // 2,
-                groups=d_inner,
-                use_bias=self.conv_bias,
-                name="conv2d",
-                data_format="NCHW" if cf else "NHWC",
-                **bayes,
-            )(xs_in)
-        xs_in = jax.nn.silu(xs_in)
+        if fused_cf and self.d_conv == 3:
+            from ..ops.gdmlp_fused import stem_fused_cf
+            from .layers import Conv2dParams as _ConvP, DenseParams as _DenseP
+
+            k_in, b_in = _DenseP(self.d_model, d_inner, use_bias=self.bias,
+                                 name="in_proj", **bayes)()
+            k_cv, b_cv = _ConvP(d_inner, d_inner, kernel_size=3,
+                                groups=d_inner, use_bias=self.conv_bias,
+                                name="conv2d", **bayes)()
+            dwtaps = jnp.transpose(k_cv[:, :, 0], (2, 0, 1)).reshape(d_inner, 9)
+            xs_in = stem_fused_cf(
+                x.reshape(B_, self.d_model, L), jnp.transpose(k_in), b_in,
+                dwtaps, b_cv, H, W,
+            ).reshape(B_, d_inner, H, W)
+        else:
+            # ---- in_proj (+ optional gate z) -------------------------------
+            d_proj = d_inner if disable_z else 2 * d_inner
+            xz = Dense(d_proj, use_bias=self.bias, name="in_proj",
+                       axis=ch_axis, **bayes)(x)
+            if not disable_z:
+                xs_in, z = jnp.split(xz, 2, axis=ch_axis)
+                if not flags["nozact"]:
+                    z = jax.nn.silu(z)
+            else:
+                xs_in = xz
+
+            # ---- depthwise conv + act --------------------------------------
+            if self.d_conv > 1:
+                xs_in = Conv2d(
+                    d_inner,
+                    kernel_size=self.d_conv,
+                    padding=(self.d_conv - 1) // 2,
+                    groups=d_inner,
+                    use_bias=self.conv_bias,
+                    name="conv2d",
+                    data_format="NCHW" if cf else "NHWC",
+                    **bayes,
+                )(xs_in)
+            xs_in = jax.nn.silu(xs_in)
 
         # ---- SSM parameters (raw, never bayesian — parity with tools.py) ---
         x_proj_weight = self.param(
@@ -206,8 +231,46 @@ class SS2D(nn.Module):
 
         # ---- forward_corev2: cross-scan -> proj -> scan -> merge ------------
         A = -jnp.exp(A_logs.astype(jnp.float32))
-        backend = self.scan_backend or default_backend()
         dtype = xs_in.dtype
+        if fused_cf:
+            # fully-fused CF serving path: per-sequence split scan kernels
+            # (in-kernel fwd/rev merge, no stacked copy — ops/ss2d_seq.py)
+            # and a fused merge+LN+out_proj tail (ops/ss2d_tail.py). The only
+            # XLA data movement left in the SS2D core is the two roofline
+            # transposes for the column sequence.
+            from ..ops.ss2d_fused_g import pick_group
+            from ..ops.ss2d_seq import ss2d_seq_pair_g
+            from ..ops.ss2d_tail import ss2d_tail_cf
+
+            G = pick_group(B_, d_inner, 320)
+            Bg = B_ // G
+            row = xs_in.reshape(Bg, G * d_inner, L)
+            col = jnp.transpose(xs_in, (0, 1, 3, 2)).reshape(
+                Bg, G * d_inner, L)
+            A4 = A.reshape(K, d_inner, N)
+            D4 = Ds.reshape(K, d_inner)
+            y_row = ss2d_seq_pair_g(row, x_proj_weight, dt_projs_weight,
+                                    dt_projs_bias, A4, D4, G, "row")
+            y_col = ss2d_seq_pair_g(col, x_proj_weight, dt_projs_weight,
+                                    dt_projs_bias, A4, D4, G, "col")
+            y_colT = jnp.transpose(
+                y_col.reshape(B_, d_inner, W, H), (0, 1, 3, 2)
+            ).reshape(Bg, G * d_inner, L)
+            on_scale, on_bias = LayerNormParams(d_inner, name="out_norm")()
+            wout, bout = DenseParams(
+                d_inner, self.d_model, use_bias=self.bias,
+                bayesian=self.bayesian, sigma_init=self.sigma_init,
+                name="out_proj",
+            )()
+            out = ss2d_tail_cf(y_row, y_colT, on_scale, on_bias, wout,
+                               bout, G)
+            out = out.reshape(B_, self.d_model, H, W)
+            if self.dropout > 0 and self.has_rng("dropout"):
+                keep = 1.0 - self.dropout
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, out.shape)
+                out = jnp.where(mask, out / keep, 0.0)
+            return out
         if scans == 3:
             # cascade2d (vmamba.py:579-654): bidirectional row scan, LN,
             # then bidirectional column scan; directions 0,1 carry the row

@@ -39,19 +39,26 @@ class GDMlp(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         h = self.hidden_features
         if self.layout == "NCHW":
-            # mixed layout: the 2h-channel inner segment runs NHWC (2h is
-            # lane-dense and XLA's NHWC depthwise conv rides the MXU); the
-            # layout flips are folded into the 1x1 projections
+            # fully-fused CF path: 1x1 -> dw3x3 -> gate -> 1x1 in one pallas
+            # program (ops/gdmlp_fused.py) — the 2h hidden never round-trips
+            # HBM. Parameter tree identical to the unfused Conv2d stack.
+            from ..ops.gdmlp_fused import gdmlp_fused_cf
+            from .layers import Conv2dParams
+
             bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init)
-            x = Conv2d(2 * h, kernel_size=1, padding=0, name="project_in",
-                       data_format="NCHW", out_format="NHWC", **bayes)(x)
-            x = Conv2d(2 * h, kernel_size=3, padding=1, groups=2 * h,
-                       name="dwconv", data_format="NHWC", **bayes)(x)
-            x1, x2 = jnp.split(x, 2, axis=-1)
-            x = _gelu_exact(x1) * x2
-            return Conv2d(self.out_features, kernel_size=1, padding=0,
-                          name="project_out", data_format="NHWC",
-                          out_format="NCHW", **bayes)(x)
+            B, C, H, W = x.shape
+            k_in, b_in = Conv2dParams(C, 2 * h, kernel_size=1,
+                                      name="project_in", **bayes)()
+            k_dw, b_dw = Conv2dParams(2 * h, 2 * h, kernel_size=3,
+                                      groups=2 * h, name="dwconv", **bayes)()
+            k_out, b_out = Conv2dParams(h, self.out_features, kernel_size=1,
+                                        name="project_out", **bayes)()
+            W1 = jnp.transpose(k_in[0, 0])                    # (2h, C)
+            dw = jnp.transpose(k_dw[:, :, 0], (2, 0, 1)).reshape(2 * h, 9)
+            W2 = jnp.transpose(k_out[0, 0])                   # (Cout, h)
+            out = gdmlp_fused_cf(x.reshape(B, C, H * W), W1, b_in, dw, b_dw,
+                                 W2, b_out, H, W)
+            return out.reshape(B, self.out_features, H, W)
         bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init,
                      data_format=self.layout)
         x = Conv2d(2 * h, kernel_size=1, padding=0, name="project_in", **bayes)(x)

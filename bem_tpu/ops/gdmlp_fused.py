@@ -1,0 +1,443 @@
+"""Fused channel-first gated-dconv MLP (gdMlp) Pallas kernel.
+
+The unfused gdMlp (vmamba.py:116-133: 1x1 conv -> depthwise 3x3 -> chunk ->
+GELU(x1)*x2 -> 1x1 conv) materializes a 2h-channel hidden activation that is
+8x the residual stream — at L0 serving shapes that is ~3 GB of HBM traffic
+per direction through four XLA ops. This kernel runs the whole MLP in one
+pallas program over channel-first (C, k·W) row-blocks:
+
+  hid  = W1 @ x + b1                     (MXU, fp32 accum)
+  conv = sum_{dy,dx} dw[:,dy,dx] * shift(hid)  (static lane-slices of a
+          (k+2)-row hidden block: dy taps are whole-row offsets, dx taps are
+          +-1 lane offsets with row-edge masks — no HBM round-trip)
+  out  = W2 @ (gelu_exact(conv[:h]) * conv[h:]) + b2   (MXU)
+
+The one-row halos are recomputed from the neighbouring x row-blocks (three
+BlockSpecs over the same operand), which costs 2 extra rows of the cheap
+W1 matmul instead of any inter-block communication. Zero conv padding at the
+image borders is enforced with a row-validity mask folded into the bias add.
+
+Backward: custom_vjp recomputes through the jnp composition (_gdmlp_ref).
+Reference semantics: basicsr/vmamba/models/vmamba.py:116-133 (gdMlp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _pick_rows(H: int, W: int, budget: int = 4096) -> int:
+    """Rows per block: largest divisor of H with k*W <= budget lanes."""
+    k0 = max(1, budget // W)
+    best = 1
+    for k in range(1, min(H, k0) + 1):
+        if H % k == 0:
+            best = k
+    return best
+
+
+def _body(*refs, h: int, W: int, k: int, H: int, nblk: int, has_b1: bool,
+          has_bdw: bool, has_b2: bool, dot_mode: str):
+    it = iter(refs)
+    xp_ref, xc_ref, xn_ref = next(it), next(it), next(it)
+    w1 = next(it)
+    b1 = next(it) if has_b1 else None
+    dw = next(it)
+    bdw = next(it) if has_bdw else None
+    w2 = next(it)
+    b2 = next(it) if has_b2 else None
+    lrow = next(it)      # (1, (k+2)*W): lane -> row-in-block (0..k+1)
+    maskl = next(it)     # (1, k*W): 0 where col == 0
+    maskr = next(it)     # (1, k*W): 0 where col == W-1
+    out_ref = next(it)
+
+    i = pl.program_id(1)
+
+    # assemble the (k+2)-row input window from the three row-blocks
+    xin = jnp.concatenate(
+        [xp_ref[0][:, (k - 1) * W:], xc_ref[0], xn_ref[0][:, :W]], axis=1)
+    # rows outside [0, H) are conv zero-padding: the clamped neighbour
+    # blocks hold garbage there, and the bias must not leak in either
+    grow = lrow[...] + jnp.float32(i * k - 1)            # global row id
+    rowmask = jnp.where(
+        (grow >= 0.0) & (grow <= jnp.float32(H - 1)), 1.0, 0.0)
+    x32 = xin.astype(jnp.float32) * rowmask
+    if dot_mode == "tpu_bf16":
+        hid = jnp.dot(w1[...], x32.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    else:
+        hid = jnp.dot(w1[...].astype(jnp.float32), x32,
+                      preferred_element_type=jnp.float32)
+    if has_b1:
+        hid = hid + b1[...] * rowmask
+
+    # depthwise 3x3 as 9 static lane-slices, grouped by dx for edge masks.
+    # 128 zero lanes on each side keep the corner taps' first/last (masked)
+    # elements in bounds.
+    z128 = jnp.zeros((hid.shape[0], 128), jnp.float32)
+    hid = jnp.concatenate([z128, hid, z128], axis=1)
+    conv = jnp.zeros((hid.shape[0], k * W), jnp.float32)
+    for dx in (-1, 0, 1):
+        acc = jnp.zeros_like(conv)
+        for dy in (-1, 0, 1):
+            tap = dw[:, 3 * (dy + 1) + (dx + 1)][:, None]
+            s = 128 + (1 + dy) * W + dx
+            acc = acc + tap * hid[:, s : s + k * W]
+        if dx == -1:
+            acc = acc * maskl[...]
+        elif dx == 1:
+            acc = acc * maskr[...]
+        conv = conv + acc
+    if has_bdw:
+        conv = conv + bdw[...]
+
+    g = _gelu_exact(conv[:h]) * conv[h:]
+    if dot_mode == "tpu_bf16":
+        out = jnp.dot(w2[...], g.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    elif dot_mode == "interp_bf16":
+        out = jnp.dot(w2[...].astype(jnp.float32),
+                      g.astype(jnp.bfloat16).astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    else:
+        out = jnp.dot(w2[...].astype(jnp.float32), g,
+                      preferred_element_type=jnp.float32)
+    if has_b2:
+        out = out + b2[...]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _gdmlp_ref(x, W1, b1, dw, bdw, W2, b2, H, Wd):
+    """jnp composition oracle / backward path. x: (B, C, L) -> (B, Cout, L).
+    Mirrors the kernel's numerics (fp32 math, bf16 MXU operand rounding on
+    the bf16 path)."""
+    B, C, L = x.shape
+    h2 = W1.shape[0]
+    h = h2 // 2
+    bf = x.dtype == jnp.bfloat16
+
+    def mx(a):
+        return a.astype(jnp.bfloat16).astype(jnp.float32) if bf else a.astype(jnp.float32)
+
+    xi = x.astype(jnp.float32).reshape(B, C, H, Wd)
+    hid = jnp.einsum("oc,bchw->bohw", mx(W1), mx(xi),
+                     preferred_element_type=jnp.float32)
+    if b1 is not None:
+        hid = hid + b1.astype(jnp.float32)[None, :, None, None]
+    hidp = jnp.pad(hid, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    conv = jnp.zeros_like(hid)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            tap = dw.astype(jnp.float32)[:, 3 * (dy + 1) + (dx + 1)]
+            conv = conv + tap[None, :, None, None] * hidp[
+                :, :, 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + Wd]
+    if bdw is not None:
+        conv = conv + bdw.astype(jnp.float32)[None, :, None, None]
+    g = _gelu_exact(conv[:, :h]) * conv[:, h:]
+    out = jnp.einsum("oc,bchw->bohw", mx(W2), mx(g),
+                     preferred_element_type=jnp.float32)
+    if b2 is not None:
+        out = out + b2.astype(jnp.float32)[None, :, None, None]
+    return out.reshape(B, -1, L).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H: int, Wd: int):
+    """Fused gdMlp. x: (B, C, H*Wd) channel-first.
+
+    W1 (2h, C) 1x1-in kernel; dw (2h, 9) depthwise 3x3 taps (row-major
+    dy, dx); W2 (Cout, h) 1x1-out kernel; b* optional biases. Returns
+    (B, Cout, H*Wd) in x.dtype.
+    """
+    B, C, L = x.shape
+    assert L == H * Wd, (L, H, Wd)
+    h2 = W1.shape[0]
+    h = h2 // 2
+    Cout = W2.shape[0]
+
+    k = _pick_rows(H, Wd)
+    nblk = H // k
+
+    lrow = jnp.asarray(
+        (np.arange((k + 2) * Wd) // Wd).astype(np.float32)).reshape(1, -1)
+    col = np.arange(k * Wd) % Wd
+    maskl = jnp.asarray((col != 0).astype(np.float32)).reshape(1, -1)
+    maskr = jnp.asarray((col != Wd - 1).astype(np.float32)).reshape(1, -1)
+
+    on_tpu = jax.default_backend() == "tpu"
+    if x.dtype == jnp.bfloat16:
+        dot_mode = "tpu_bf16" if on_tpu else "interp_bf16"
+        wdt = jnp.bfloat16 if on_tpu else jnp.float32
+    else:
+        dot_mode = "f32"
+        wdt = jnp.float32
+
+    last = nblk - 1
+    xspec_p = pl.BlockSpec((1, C, k * Wd),
+                           lambda b, i: (b, 0, jnp.maximum(i - 1, 0)),
+                           memory_space=pltpu.VMEM)
+    xspec_c = pl.BlockSpec((1, C, k * Wd), lambda b, i: (b, 0, i),
+                           memory_space=pltpu.VMEM)
+    xspec_n = pl.BlockSpec((1, C, k * Wd),
+                           lambda b, i: (b, 0, jnp.minimum(i + 1, last)),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, Cout, k * Wd), lambda b, i: (b, 0, i),
+                            memory_space=pltpu.VMEM)
+    const = lambda arr: pl.BlockSpec(
+        arr.shape, lambda b, i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    w1 = W1.astype(wdt)
+    w2 = W2.astype(wdt)
+    dwf = dw.astype(jnp.float32)
+    operands = [x, x, x, w1]
+    in_specs = [xspec_p, xspec_c, xspec_n, const(w1)]
+    if b1 is not None:
+        b1f = b1.astype(jnp.float32).reshape(h2, 1)
+        operands.append(b1f)
+        in_specs.append(const(b1f))
+    operands.append(dwf)
+    in_specs.append(const(dwf))
+    if bdw is not None:
+        bdwf = bdw.astype(jnp.float32).reshape(h2, 1)
+        operands.append(bdwf)
+        in_specs.append(const(bdwf))
+    operands.append(w2)
+    in_specs.append(const(w2))
+    if b2 is not None:
+        b2f = b2.astype(jnp.float32).reshape(Cout, 1)
+        operands.append(b2f)
+        in_specs.append(const(b2f))
+    operands += [lrow, maskl, maskr]
+    in_specs += [const(lrow), const(maskl), const(maskr)]
+
+    kernel = functools.partial(
+        _body, h=h, W=Wd, k=k, H=H, nblk=nblk,
+        has_b1=b1 is not None, has_bdw=bdw is not None,
+        has_b2=b2 is not None, dot_mode=dot_mode)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nblk),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Cout, L), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=not on_tpu,
+    )(*operands)
+
+
+def _stem_body(*refs, W: int, k: int, H: int, has_b1: bool, has_bdw: bool,
+               dot_mode: str):
+    it = iter(refs)
+    xp_ref, xc_ref, xn_ref = next(it), next(it), next(it)
+    w1 = next(it)
+    b1 = next(it) if has_b1 else None
+    dw = next(it)
+    bdw = next(it) if has_bdw else None
+    lrow = next(it)
+    maskl = next(it)
+    maskr = next(it)
+    out_ref = next(it)
+
+    i = pl.program_id(1)
+    xin = jnp.concatenate(
+        [xp_ref[0][:, (k - 1) * W:], xc_ref[0], xn_ref[0][:, :W]], axis=1)
+    grow = lrow[...] + jnp.float32(i * k - 1)
+    rowmask = jnp.where(
+        (grow >= 0.0) & (grow <= jnp.float32(H - 1)), 1.0, 0.0)
+    x32 = xin.astype(jnp.float32) * rowmask
+    if dot_mode == "tpu_bf16":
+        hid = jnp.dot(w1[...], x32.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    else:
+        hid = jnp.dot(w1[...].astype(jnp.float32), x32,
+                      preferred_element_type=jnp.float32)
+    if has_b1:
+        hid = hid + b1[...] * rowmask
+    z128 = jnp.zeros((hid.shape[0], 128), jnp.float32)
+    hid = jnp.concatenate([z128, hid, z128], axis=1)
+    conv = jnp.zeros((hid.shape[0], k * W), jnp.float32)
+    for dx in (-1, 0, 1):
+        acc = jnp.zeros_like(conv)
+        for dy in (-1, 0, 1):
+            tap = dw[:, 3 * (dy + 1) + (dx + 1)][:, None]
+            s = 128 + (1 + dy) * W + dx
+            acc = acc + tap * hid[:, s : s + k * W]
+        if dx == -1:
+            acc = acc * maskl[...]
+        elif dx == 1:
+            acc = acc * maskr[...]
+        conv = conv + acc
+    if has_bdw:
+        conv = conv + bdw[...]
+    out_ref[0] = (conv * jax.nn.sigmoid(conv)).astype(out_ref.dtype)
+
+
+def _stem_ref(x, W1, b1, dw, bdw, H, Wd):
+    """jnp oracle: 1x1 proj -> dw3x3 -> silu, channel-first."""
+    B, C, L = x.shape
+    bf = x.dtype == jnp.bfloat16
+
+    def mx(a):
+        return a.astype(jnp.bfloat16).astype(jnp.float32) if bf else a.astype(jnp.float32)
+
+    xi = x.astype(jnp.float32).reshape(B, C, H, Wd)
+    hid = jnp.einsum("oc,bchw->bohw", mx(W1), mx(xi),
+                     preferred_element_type=jnp.float32)
+    if b1 is not None:
+        hid = hid + b1.astype(jnp.float32)[None, :, None, None]
+    hidp = jnp.pad(hid, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    conv = jnp.zeros_like(hid)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            tap = dw.astype(jnp.float32)[:, 3 * (dy + 1) + (dx + 1)]
+            conv = conv + tap[None, :, None, None] * hidp[
+                :, :, 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + Wd]
+    if bdw is not None:
+        conv = conv + bdw.astype(jnp.float32)[None, :, None, None]
+    out = conv * jax.nn.sigmoid(conv)
+    return out.reshape(B, -1, L).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def stem_fused_cf(x, W1, b1, dw, bdw, H: int, Wd: int):
+    """Fused SS2D stem: in_proj 1x1 -> depthwise 3x3 -> SiLU, channel-first.
+
+    Same kernel structure as :func:`gdmlp_fused_cf` without the gate/out
+    projection (vmamba.py:658-661 in_proj + conv2d + act). x: (B, C, H*Wd);
+    W1 (d_inner, C); dw (d_inner, 9). Returns (B, d_inner, H*Wd).
+    """
+    B, C, L = x.shape
+    assert L == H * Wd, (L, H, Wd)
+    Dh = W1.shape[0]
+
+    k = _pick_rows(H, Wd)
+    nblk = H // k
+    lrow = jnp.asarray(
+        (np.arange((k + 2) * Wd) // Wd).astype(np.float32)).reshape(1, -1)
+    col = np.arange(k * Wd) % Wd
+    maskl = jnp.asarray((col != 0).astype(np.float32)).reshape(1, -1)
+    maskr = jnp.asarray((col != Wd - 1).astype(np.float32)).reshape(1, -1)
+
+    on_tpu = jax.default_backend() == "tpu"
+    if x.dtype == jnp.bfloat16:
+        dot_mode = "tpu_bf16" if on_tpu else "interp_bf16"
+        wdt = jnp.bfloat16 if on_tpu else jnp.float32
+    else:
+        dot_mode = "f32"
+        wdt = jnp.float32
+    if dot_mode == "interp_bf16":
+        # interpret backend can't run bf16 dots; pre-round the weight and
+        # dot in f32 (x is already bf16-precision)
+        dot_mode = "f32"
+        w1 = W1.astype(jnp.bfloat16).astype(jnp.float32)
+    else:
+        w1 = W1.astype(wdt)
+
+    last = nblk - 1
+    xspec_p = pl.BlockSpec((1, C, k * Wd),
+                           lambda b, i: (b, 0, jnp.maximum(i - 1, 0)),
+                           memory_space=pltpu.VMEM)
+    xspec_c = pl.BlockSpec((1, C, k * Wd), lambda b, i: (b, 0, i),
+                           memory_space=pltpu.VMEM)
+    xspec_n = pl.BlockSpec((1, C, k * Wd),
+                           lambda b, i: (b, 0, jnp.minimum(i + 1, last)),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, Dh, k * Wd), lambda b, i: (b, 0, i),
+                            memory_space=pltpu.VMEM)
+    const = lambda arr: pl.BlockSpec(
+        arr.shape, lambda b, i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    dwf = dw.astype(jnp.float32)
+    operands = [x, x, x, w1]
+    in_specs = [xspec_p, xspec_c, xspec_n, const(w1)]
+    if b1 is not None:
+        b1f = b1.astype(jnp.float32).reshape(Dh, 1)
+        operands.append(b1f)
+        in_specs.append(const(b1f))
+    operands.append(dwf)
+    in_specs.append(const(dwf))
+    if bdw is not None:
+        bdwf = bdw.astype(jnp.float32).reshape(Dh, 1)
+        operands.append(bdwf)
+        in_specs.append(const(bdwf))
+    operands += [lrow, maskl, maskr]
+    in_specs += [const(lrow), const(maskl), const(maskr)]
+
+    kernel = functools.partial(
+        _stem_body, W=Wd, k=k, H=H,
+        has_b1=b1 is not None, has_bdw=bdw is not None, dot_mode=dot_mode)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nblk),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Dh, L), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=not on_tpu,
+    )(*operands)
+
+
+def _stem_vjp_fwd(x, W1, b1, dw, bdw, H, Wd):
+    out = stem_fused_cf(x, W1, b1, dw, bdw, H, Wd)
+    return out, (x, W1, b1, dw, bdw)
+
+
+def _stem_vjp_bwd(H, Wd, res, g):
+    x, W1, b1, dw, bdw = res
+    args = [x, W1, b1, dw, bdw]
+    diff_idx = [i for i, a in enumerate(args) if a is not None]
+
+    def f(*present):
+        full = list(args)
+        for i, v in zip(diff_idx, present):
+            full[i] = v
+        return _stem_ref(*full, H, Wd)
+
+    _, vjp = jax.vjp(f, *[args[i] for i in diff_idx])
+    grads_present = vjp(g)
+    out = [None] * len(args)
+    for i, gv in zip(diff_idx, grads_present):
+        out[i] = gv
+    return tuple(out)
+
+
+stem_fused_cf.defvjp(_stem_vjp_fwd, _stem_vjp_bwd)
+
+
+def _vjp_fwd(x, W1, b1, dw, bdw, W2, b2, H, Wd):
+    out = gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H, Wd)
+    return out, (x, W1, b1, dw, bdw, W2, b2)
+
+
+def _vjp_bwd(H, Wd, res, g):
+    x, W1, b1, dw, bdw, W2, b2 = res
+    args = [x, W1, b1, dw, bdw, W2, b2]
+    diff_idx = [i for i, a in enumerate(args) if a is not None]
+
+    def f(*present):
+        full = list(args)
+        for i, v in zip(diff_idx, present):
+            full[i] = v
+        return _gdmlp_ref(*full, H, Wd)
+
+    _, vjp = jax.vjp(f, *[args[i] for i in diff_idx])
+    grads_present = vjp(g)
+    out = [None] * len(args)
+    for i, gv in zip(diff_idx, grads_present):
+        out[i] = gv
+    return tuple(out)
+
+
+gdmlp_fused_cf.defvjp(_vjp_fwd, _vjp_bwd)

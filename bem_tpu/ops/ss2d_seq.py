@@ -1,0 +1,249 @@
+"""Per-sequence fused SS2D scan: split forward/reverse pallas calls.
+
+The stacked-direction kernel (:mod:`bem_tpu.ops.ss2d_fused_g`) needs its
+input as one (Bg, 2, G*C, L) array, which costs a full-size ``jnp.stack``
+copy of both sequence orders, and it emits y_fwd / y_rev separately, which
+costs a full-size XLA add. This module splits the two scan directions of ONE
+sequence (row-major or col-major) into two pallas calls:
+
+  1. the forward-direction call scans blocks left-to-right and writes y_f;
+  2. the reverse-direction call scans blocks right-to-left, reads the
+     already-final y_f block at the same L-position, and writes y_f + y_rev —
+     the direction merge happens in-kernel for free.
+
+The sequence arrays are consumed directly (row = a reshape of the CF
+feature map, col = one XLA transpose), so the only HBM copies left around
+the scan are the two roofline transposes for the column order.
+
+Math is identical to ss2d_fused_g (in-kernel dt/B/C projections, additive
+two-level blocked scan, fp32 carry, block-diagonal grouped weights).
+Reference: selective_scan_fwd_kernel_oflex.cuh (fused scan),
+csm_triton.py:278-391 (directional cross-scan), vmamba.py:658-661.
+
+Backward: custom_vjp recomputes through a jnp composition
+(:func:`_seq_pair_ref`) — the CF fused path is the serving path; training
+shapes (128^2 patches) are cheap to recompute.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ss2d_fused_g import (
+    LBLK,
+    SEG_ADD,
+    W_CLAMP,
+    _block_scan_add,
+    _expand_onehots,
+    _expand_weights,
+    _softplus,
+)
+
+# direction indices in the reference cross2d order (csm_triton.py / vmamba
+# CrossScan): 0 = row-major fwd, 1 = col-major fwd, 2 = row rev, 3 = col rev
+PAIRS = {"row": (0, 2), "col": (1, 3)}
+
+
+def _dir_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool):
+    if merge:
+        (x_ref, wx, wdt, bias, A, D, ebn, ecn, E, Fb, eend, yin_ref,
+         y_ref, h_ref) = refs
+    else:
+        (x_ref, wx, wdt, bias, A, D, ebn, ecn, E, Fb, eend,
+         y_ref, h_ref) = refs
+
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (G*C, LBLK)
+    xdbl = jnp.dot(wx[0], x, preferred_element_type=jnp.float32)
+    dtr = jnp.dot(wdt[0], xdbl[:GR], preferred_element_type=jnp.float32)
+    dt = _softplus(dtr + bias[0])     # (G*C, LBLK)
+    du = dt * x
+    rows_B = xdbl[GR : GR + GN]       # (G*N, LBLK)
+    rows_C = xdbl[GR + GN :]
+    y = jnp.zeros_like(x)
+    for n in range(N):
+        B_bc = jnp.dot(ebn[n], rows_B, preferred_element_type=jnp.float32)
+        C_bc = jnp.dot(ecn[n], rows_C, preferred_element_type=jnp.float32)
+        w = jnp.maximum(dt * A[0, :, n : n + 1], W_CLAMP)
+        b = du * B_bc
+        a_pref, b_pref = _block_scan_add(w, b, E[...], Fb[...], rev)
+        h = a_pref * h_ref[:, n : n + 1] + b_pref
+        a_end = jnp.dot(a_pref, eend[...], preferred_element_type=jnp.float32)
+        b_end = jnp.dot(b_pref, eend[...], preferred_element_type=jnp.float32)
+        h_ref[:, n : n + 1] = a_end * h_ref[:, n : n + 1] + b_end
+        y = y + C_bc * h
+    y = y + D[0] * x
+    if merge:
+        y = y + yin_ref[0].astype(jnp.float32)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def _run_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N: int, d: int,
+             rev: bool, yin=None, lblk: int = LBLK):
+    """One scan direction over x (Bg, GC, Lp). Returns y (Bg, GC, Lp);
+    if ``yin`` is given, y += yin (the in-kernel direction merge)."""
+    Bg, GC, Lp = x.shape
+    GP = Wx_g.shape[1]
+    GN = ebn.shape[-1]
+    GR = GP - 2 * GN
+    nL = Lp // lblk
+    last = nL - 1
+
+    i = np.arange(lblk)
+    sseg = np.arange(lblk // SEG_ADD)
+    if rev:
+        E = jnp.asarray((i[:, None] == sseg[None, :] * SEG_ADD).astype(np.float32))
+        eend = jnp.zeros((lblk, 1), jnp.float32).at[0, 0].set(1.0)
+    else:
+        E = jnp.asarray(
+            (i[:, None] == sseg[None, :] * SEG_ADD + SEG_ADD - 1).astype(np.float32))
+        eend = jnp.zeros((lblk, 1), jnp.float32).at[lblk - 1, 0].set(1.0)
+    Fb = jnp.asarray(((i[None, :] // SEG_ADD) == sseg[:, None]).astype(np.float32))
+
+    if rev:
+        x_spec = pl.BlockSpec((1, GC, lblk), lambda b, l: (b, 0, last - l),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((1, GC, lblk), lambda b, l: (b, 0, l),
+                              memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec((1,) + shape, lambda b, l: (d,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    const = lambda arr: pl.BlockSpec(
+        arr.shape, lambda b, l: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        x_spec,
+        wspec((GP, GC)), wspec((GC, GR)), wspec((GC, 1)),
+        wspec((GC, N)), wspec((GC, 1)),
+        const(ebn), const(ecn), const(E), const(Fb), const(eend),
+    ]
+    operands = [x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, E, Fb, eend]
+    if yin is not None:
+        in_specs.append(x_spec)  # same block order as the output
+        operands.append(yin)
+
+    kernel = functools.partial(
+        lambda *refs, GR, GN, N, rev, merge: _dir_body(refs, GR, GN, N, rev, merge),
+        GR=GR, GN=GN, N=N, rev=rev, merge=yin is not None,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(Bg, nL),
+        in_specs=in_specs,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((Bg, GC, Lp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((GC, N), jnp.float32)],
+        # the merge variant's extra y_f input block pushes the live set just
+        # past the default 16M scoped-vmem budget at GC=320/LBLK=2048;
+        # v5e has headroom above the default limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(*operands)
+
+
+def _seq_pair_ref(xseq, Wx, Wdt, bias, A, D, d_f: int, d_r: int):
+    """jnp composition oracle for one sequence pair (no grouping).
+
+    xseq: (B, C, L) fp-anything. Returns fwd(d_f) + rev(d_r) in original
+    positions, fp32 math, cast back to xseq.dtype."""
+    from .scan import linear_scan
+
+    B, C, L = xseq.shape
+    P = Wx.shape[1]
+    N = A.shape[-1]
+    R = P - 2 * N
+    out = jnp.zeros((B, C, L), jnp.float32)
+    for k, rev in ((d_f, False), (d_r, True)):
+        x = xseq.astype(jnp.float32)
+        if rev:
+            x = jnp.flip(x, axis=-1)
+        xdbl = jnp.einsum("pc,bcl->bpl", Wx[k].astype(jnp.float32), x)
+        dt = jax.nn.softplus(
+            jnp.einsum("cr,brl->bcl", Wdt[k].astype(jnp.float32), xdbl[:, :R])
+            + bias[k].astype(jnp.float32)[None, :, None]
+        )
+        a = jnp.exp(dt[..., None] * A[k].astype(jnp.float32)[None, :, None, :])
+        b = (dt * x)[..., None] * jnp.moveaxis(
+            xdbl[:, R : R + N], 1, 2)[:, None, :, :]
+        a2 = jnp.moveaxis(a, 2, 1).reshape(B, L, C * N)
+        b2 = jnp.moveaxis(b, 2, 1).reshape(B, L, C * N)
+        h = linear_scan(a2, b2, backend="xla").reshape(B, L, C, N)
+        Cs = jnp.moveaxis(xdbl[:, R + N :], 1, 2)
+        y = jnp.einsum("blcn,bln->bcl", h, Cs)
+        y = y + D[k].astype(jnp.float32)[None, :, None] * x
+        if rev:
+            y = jnp.flip(y, axis=-1)
+        out = out + y
+    return out.astype(xseq.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def ss2d_seq_pair_g(xseq_g, Wx, Wdt, bias, A, D, G: int, pair: str):
+    """Both scan directions of one sequence, grouped, direction-merged.
+
+    xseq_g: (B/G, G*C, L) — a pure reshape of the (B, C, L) sequence (row
+    order: reshape of the CF feature map; col order: one transpose).
+    Wx (4, R+2N, C), Wdt (4, C, R), bias (4, C), A (4, C, N), D (4, C)
+    per-direction weights; ``pair`` selects which two directions run
+    ("row" -> 0/2, "col" -> 1/3, cross2d order).
+    Returns (B/G, G*C, L): y_fwd + y_rev in original sequence positions.
+    """
+    d_f, d_r = PAIRS[pair]
+    C = Wx.shape[-1]
+    N = A.shape[-1]
+    Bg, GC, L = xseq_g.shape
+    Wx_g, Wdt_g, bias_g, A_g, D_g = _expand_weights(Wx, Wdt, bias, A, D, G)
+    ebn = _expand_onehots(G, C, N)
+
+    lblk = min(LBLK, -(-L // 128) * 128)
+    Lp = -(-L // lblk) * lblk
+    x = xseq_g
+    if Lp != L:
+        # zero-padding is scan-neutral: x=0 -> b = dt*x*B = 0, so the state
+        # is unchanged through the pad (the reverse scan enters real data
+        # with h = 0)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Lp - L)))
+
+    y_f = _run_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ebn, N, d_f,
+                   rev=False, lblk=lblk)
+    y = _run_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ebn, N, d_r,
+                 rev=True, yin=y_f, lblk=lblk)
+    return y[..., :L]
+
+
+def _vjp_fwd(xseq_g, Wx, Wdt, bias, A, D, G, pair):
+    y = ss2d_seq_pair_g(xseq_g, Wx, Wdt, bias, A, D, G, pair)
+    return y, (xseq_g, Wx, Wdt, bias, A, D)
+
+
+def _vjp_bwd(G, pair, res, g):
+    xseq_g, Wx, Wdt, bias, A, D = res
+    d_f, d_r = PAIRS[pair]
+    Bg, GC, L = xseq_g.shape
+    C = GC // G
+    xs = xseq_g.reshape(Bg * G, C, L)
+    gy = g.reshape(Bg * G, C, L)
+    _, vjp = jax.vjp(
+        lambda x, wx, wdt, b, a, d: _seq_pair_ref(x, wx, wdt, b, a, d, d_f, d_r),
+        xs, Wx, Wdt, bias, A, D,
+    )
+    dx, dWx, dWdt, dbias, dA, dD = vjp(gy)
+    return dx.reshape(Bg, GC, L), dWx, dWdt, dbias, dA, dD
+
+
+ss2d_seq_pair_g.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,180 @@
+"""Fused SS2D tail: direction-pair merge + out-LayerNorm + out_proj, CF.
+
+Consumes the two sequence-pair scan outputs (row order and the
+transposed-back col order, both (B/G, G*C, L) channel-first), and fuses
+what the unfused path runs as 4 full-size XLA ops over lane-padded NHWC
+arrays (merge add in fp32, LayerNorm2d, dtype cast, out_proj matmul —
+vmamba.py:700-716 y_fwd path) into one pallas program over compact CF
+blocks:
+
+  y   = y_row + y_colT                      (fp32)
+  yn  = LN_C(y) * scale + bias              (per-image C-chunk, eps 1e-5)
+  out = W_out^T @ yn.astype(bf16)           (block-diagonal grouped MXU dot)
+
+The per-image LayerNorm statistics run on the MXU: a (G, G*C) averaging
+matrix contracts each image's C-chunk of sublanes per lane, and a
+(G*C, G) broadcast matrix expands the (G, L) statistics back — no
+sublane-segment reductions on the VPU.
+
+The residual add stays in the caller (it belongs to VSSBlock, whose x is
+not an SS2D input). Backward: custom_vjp through the jnp composition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-5
+_LBLK = 2048
+
+
+def _tail_body(refs, has_bias: bool, bf16_dot: bool):
+    if has_bias:
+        (yr_ref, yc_ref, msum, bcast, sc_ref, bi_ref, w_ref, bo_ref,
+         out_ref) = refs
+    else:
+        (yr_ref, yc_ref, msum, bcast, sc_ref, bi_ref, w_ref, out_ref) = refs
+
+    y = yr_ref[0].astype(jnp.float32) + yc_ref[0].astype(jnp.float32)
+    m = jnp.dot(msum[...], y, preferred_element_type=jnp.float32)    # (G, L)
+    e2 = jnp.dot(msum[...], y * y, preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(e2 - m * m + _EPS)
+    mf = jnp.dot(bcast[...], m, preferred_element_type=jnp.float32)  # (GC, L)
+    invf = jnp.dot(bcast[...], inv, preferred_element_type=jnp.float32)
+    yn = (y - mf) * invf * sc_ref[...] + bi_ref[...]
+    # the unfused path casts LN output to the compute dtype before the
+    # out_proj matmul; mirror that (bf16 MXU operands on the bf16 serving
+    # path, f32 otherwise). The CPU interpret backend cannot run bf16 dots,
+    # so it upcasts the bf16-rounded values — identical numerics.
+    w = w_ref[...]
+    if bf16_dot == "tpu_bf16":
+        yn = yn.astype(jnp.bfloat16)
+    elif bf16_dot == "interp_bf16":
+        yn = yn.astype(jnp.bfloat16).astype(jnp.float32)
+        w = w.astype(jnp.float32)
+    else:  # f32
+        w = w.astype(jnp.float32)
+    out = jnp.dot(w, yn, preferred_element_type=jnp.float32)
+    if has_bias:
+        out = out + bo_ref[...]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _tail_ref(y_row, y_colT, scale, bias, Wout, bout, G):
+    """jnp composition (oracle / backward / non-TPU path)."""
+    Bg, GC, L = y_row.shape
+    C = GC // G
+    y = (y_row.astype(jnp.float32) + y_colT.astype(jnp.float32)).reshape(
+        Bg, G, C, L)
+    m = jnp.mean(y, axis=2, keepdims=True)
+    v = jnp.mean(jnp.square(y - m), axis=2, keepdims=True)
+    yn = (y - m) * jax.lax.rsqrt(v + _EPS)
+    yn = yn * scale.astype(jnp.float32)[None, None, :, None]
+    yn = yn + bias.astype(jnp.float32)[None, None, :, None]
+    # cast to the compute dtype before the matmul, like the unfused Dense
+    # (bf16-round + f32 upcast on the bf16 path — executable everywhere)
+    if y_row.dtype == jnp.bfloat16:
+        yn = yn.astype(jnp.bfloat16).astype(jnp.float32)
+        w = Wout.astype(jnp.bfloat16).astype(jnp.float32)
+    else:
+        w = Wout.astype(jnp.float32)
+    out = jnp.einsum("bgcl,cd->bgdl", yn, w,
+                     preferred_element_type=jnp.float32)
+    if bout is not None:
+        out = out + bout.astype(jnp.float32)[None, None, :, None]
+    return out.reshape(Bg, G * Wout.shape[1], L).astype(y_row.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G: int):
+    """Fused merge + LN + out_proj. y_row/y_colT: (B/G, G*C, L) CF.
+
+    scale/bias: (C,) LayerNorm2d params; Wout: (C, C_out) Dense kernel;
+    bout: (C_out,) or None. Returns (B/G, G*C_out, L) in y_row.dtype.
+    """
+    Bg, GC, L = y_row.shape
+    C = GC // G
+    Cout = Wout.shape[1]
+    has_bias = bout is not None
+
+    lblk = min(_LBLK, -(-L // 128) * 128)
+    Lp = -(-L // lblk) * lblk
+    if Lp != L:
+        y_row = jnp.pad(y_row, ((0, 0), (0, 0), (0, Lp - L)))
+        y_colT = jnp.pad(y_colT, ((0, 0), (0, 0), (0, Lp - L)))
+    nL = Lp // lblk
+
+    # LN statistics / broadcast matrices and block-diagonal projection
+    msum = np.zeros((G, GC), np.float32)
+    bcast = np.zeros((GC, G), np.float32)
+    for g in range(G):
+        msum[g, g * C : (g + 1) * C] = 1.0 / C
+        bcast[g * C : (g + 1) * C, g] = 1.0
+    msum = jnp.asarray(msum)
+    bcast = jnp.asarray(bcast)
+    w_dtype = jnp.bfloat16 if y_row.dtype == jnp.bfloat16 else jnp.float32
+    eye = jnp.eye(G, dtype=w_dtype)
+    w_bd = jnp.kron(eye, Wout.T.astype(w_dtype))  # (G*Cout, G*C)
+    sc = jnp.tile(scale.astype(jnp.float32), G).reshape(GC, 1)
+    bi = jnp.tile(bias.astype(jnp.float32), G).reshape(GC, 1)
+
+    y_spec = pl.BlockSpec((1, GC, lblk), lambda b, l: (b, 0, l),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, G * Cout, lblk), lambda b, l: (b, 0, l),
+                            memory_space=pltpu.VMEM)
+    const = lambda arr: pl.BlockSpec(
+        arr.shape, lambda b, l: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    operands = [y_row, y_colT, msum, bcast, sc, bi, w_bd]
+    in_specs = [y_spec, y_spec, const(msum), const(bcast), const(sc),
+                const(bi), const(w_bd)]
+    if has_bias:
+        bo = jnp.tile(bout.astype(jnp.float32), G).reshape(G * Cout, 1)
+        operands.append(bo)
+        in_specs.append(const(bo))
+
+    on_tpu = jax.default_backend() == "tpu"
+    if y_row.dtype == jnp.bfloat16:
+        dot_mode = "tpu_bf16" if on_tpu else "interp_bf16"
+    else:
+        dot_mode = "f32"
+    kernel = functools.partial(
+        lambda *refs, has_bias, bf16_dot: _tail_body(refs, has_bias, bf16_dot),
+        has_bias=has_bias, bf16_dot=dot_mode)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bg, nL),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Bg, G * Cout, Lp), y_row.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(*operands)
+    return out[..., :L]
+
+
+def _vjp_fwd(y_row, y_colT, scale, bias, Wout, bout, G):
+    out = ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G)
+    return out, (y_row, y_colT, scale, bias, Wout, bout)
+
+
+def _vjp_bwd(G, res, g):
+    y_row, y_colT, scale, bias, Wout, bout = res
+    if bout is None:
+        _, vjp = jax.vjp(
+            lambda yr, yc, s, b, w: _tail_ref(yr, yc, s, b, w, None, G),
+            y_row, y_colT, scale, bias, Wout)
+        dyr, dyc, ds, db, dw = vjp(g)
+        return dyr, dyc, ds, db, dw, None
+    _, vjp = jax.vjp(
+        lambda yr, yc, s, b, w, bo: _tail_ref(yr, yc, s, b, w, bo, G),
+        y_row, y_colT, scale, bias, Wout, bout)
+    return vjp(g)
+
+
+ss2d_tail_cf.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,130 @@
+"""Parity of the split per-sequence scan + fused CF tail vs composition.
+
+Covers the round-3 serving path: ops/ss2d_seq.py (per-direction pallas
+calls with in-kernel fwd/rev merge) and ops/ss2d_tail.py (merge + LN +
+out_proj), plus the end-to-end SS2D layout="NCHW" fused branch against the
+channels-last composition oracle with identical parameters.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bem_tpu.ops.ss2d_seq import ss2d_seq_pair_g, _seq_pair_ref
+from bem_tpu.ops.ss2d_tail import ss2d_tail_cf, _tail_ref
+
+
+def make_weights(C, R, N, seed=0):
+    rng = np.random.default_rng(seed)
+    P = R + 2 * N
+    f32 = jnp.float32
+    Wx = jnp.asarray(rng.standard_normal((4, P, C)) * 0.2, f32)
+    Wdt = jnp.asarray(rng.standard_normal((4, C, R)) * 0.2, f32)
+    bias = jnp.asarray(rng.standard_normal((4, C)) * 0.5, f32)
+    A = jnp.asarray(-np.exp(rng.standard_normal((4, C, N)) * 0.3), f32)
+    D = jnp.asarray(rng.standard_normal((4, C)), f32)
+    return Wx, Wdt, bias, A, D
+
+
+@pytest.mark.parametrize("pair", ["row", "col"])
+@pytest.mark.parametrize(
+    "B,C,L,R,N,G",
+    [
+        (2, 24, 96, 3, 1, 2),    # grouped, single padded block
+        (1, 40, 1296, 3, 1, 1),  # multi-block carry + padding
+        (2, 16, 640, 4, 2, 2),   # N=2, exact block
+    ],
+)
+def test_seq_pair_matches_oracle(B, C, L, R, N, G, pair):
+    rng = np.random.default_rng(1)
+    Wx, Wdt, bias, A, D = make_weights(C, R, N)
+    x = jnp.asarray(rng.standard_normal((B, C, L)), jnp.float32)
+    xg = x.reshape(B // G, G * C, L)
+    y = ss2d_seq_pair_g(xg, Wx, Wdt, bias, A, D, G, pair)
+    from bem_tpu.ops.ss2d_seq import PAIRS
+
+    d_f, d_r = PAIRS[pair]
+    y_ref = _seq_pair_ref(x, Wx, Wdt, bias, A, D, d_f, d_r)
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(B, C, L), np.asarray(y_ref),
+        rtol=2e-4, atol=2e-4)
+
+
+def test_seq_pair_grads_match_oracle():
+    B, C, L, R, N, G = 2, 16, 96, 3, 1, 2
+    rng = np.random.default_rng(3)
+    Wx, Wdt, bias, A, D = make_weights(C, R, N, seed=3)
+    xg = jnp.asarray(rng.standard_normal((B // G, G * C, L)), jnp.float32)
+
+    def loss_fused(*a):
+        return jnp.sum(ss2d_seq_pair_g(*a, G, "row").astype(jnp.float32) ** 2)
+
+    def loss_ref(xgg, *w):
+        x = xgg.reshape(B, C, L)
+        y = _seq_pair_ref(x, *w, 0, 2)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(6)))(xg, Wx, Wdt, bias, A, D)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(xg, Wx, Wdt, bias, A, D)
+    for name, gf, gr in zip(["x", "Wx", "Wdt", "bias", "A", "D"], g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("G,use_bias", [(1, False), (2, False), (2, True)])
+def test_tail_matches_ref(G, use_bias):
+    B, C, Cout, L = 4, 24, 24, 96
+    rng = np.random.default_rng(5)
+    yr = jnp.asarray(rng.standard_normal((B // G, G * C, L)), jnp.bfloat16)
+    yc = jnp.asarray(rng.standard_normal((B // G, G * C, L)), jnp.bfloat16)
+    sc = jnp.asarray(rng.standard_normal(C) * 0.2 + 1.0, jnp.float32)
+    bi = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+    W = jnp.asarray(rng.standard_normal((C, Cout)) * 0.2, jnp.float32)
+    bo = jnp.asarray(rng.standard_normal(Cout) * 0.1, jnp.float32) if use_bias else None
+    out = ss2d_tail_cf(yr, yc, sc, bi, W, bo, G)
+    ref = _tail_ref(yr, yc, sc, bi, W, bo, G)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_ss2d_cf_fused_matches_nhwc_composition():
+    """SS2D layout='NCHW' (fused seq+tail branch) == layout NHWC composition
+    with the same params — the end-to-end check for the serving path."""
+    from bem_tpu.nn.ss2d import SS2D
+
+    B, H, W, C = 2, 12, 16, 16
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+
+    kw = dict(d_model=C, d_state=1, ssm_ratio=1.0, dt_rank="auto",
+              forward_type="v05_noz")
+    m_ref = SS2D(scan_backend="xla", layout="NHWC", **kw)
+    m_cf = SS2D(scan_backend="pallas", layout="NCHW", **kw)
+    v = m_ref.init(jax.random.PRNGKey(0), x)
+    y_ref = m_ref.apply(v, x)
+    x_cf = jnp.transpose(x, (0, 3, 1, 2))
+    y_cf = m_cf.apply(v, x_cf)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(y_cf, (0, 2, 3, 1))), np.asarray(y_ref),
+        rtol=5e-4, atol=5e-4)
+
+
+def test_vssblock_cf_fused_matches_nhwc():
+    """Full VSSBlock in layout='NCHW' with the fused pallas branch vs NHWC."""
+    from bem_tpu.nn.vss import VSSBlock
+
+    B, H, W, C = 2, 8, 12, 16
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    kw = dict(hidden_dim=C, forward_type="v05_noz", mlp_ratio=4.0,
+              mlp_type="gdmlp")
+    m_ref = VSSBlock(scan_backend="xla", layout="NHWC", **kw)
+    m_cf = VSSBlock(scan_backend="pallas", layout="NCHW", **kw)
+    v = m_ref.init(jax.random.PRNGKey(0), x)
+    y_ref = m_ref.apply(v, x)
+    y_cf = m_cf.apply(v, jnp.transpose(x, (0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(y_cf, (0, 2, 3, 1))), np.asarray(y_ref),
+        rtol=1e-3, atol=1e-3)
