@@ -3,7 +3,7 @@
 from typing import Any, Dict
 
 from ..utils.registry import LOSS_REGISTRY
-from . import basic_loss, gan_loss  # noqa: F401
+from . import basic_loss, gan_loss, my_loss  # noqa: F401
 from .basic_loss import L1Loss, MSELoss, CharbonnierLoss, WeightedTVLoss
 from .gan_loss import GANLoss, MultiScaleGANLoss, r1_penalty, gradient_penalty_loss
 
