@@ -83,15 +83,19 @@ def main(src_dir: str, out_dir: str = CHECKPOINT_DIR):
 
     os.makedirs(out_dir, exist_ok=True)
     for mt in ("model1", "model2", "model3", "model4"):
-        src = os.path.join(src_dir, f"{mt}_999.pth")
-        if not os.path.exists(src):
-            print(f"skip {src} (missing)")
-            continue
-        params = convert_checkpoint(src, mt)
-        dst = os.path.join(out_dir, f"{mt}_999.msgpack")
-        with open(dst, "wb") as f:
-            f.write(serialization.msgpack_serialize(params))
-        print(f"converted {src} -> {dst}")
+        # the _retrain_999 variants are the reference's re-trained QD drops
+        # (QD/checkpoints/); no shipped arch loads them, but they are part
+        # of the artifact set, so convert both
+        for suffix in ("999", "retrain_999"):
+            src = os.path.join(src_dir, f"{mt}_{suffix}.pth")
+            if not os.path.exists(src):
+                print(f"skip {src} (missing)")
+                continue
+            params = convert_checkpoint(src, mt)
+            dst = os.path.join(out_dir, f"{mt}_{suffix}.msgpack")
+            with open(dst, "wb") as f:
+                f.write(serialization.msgpack_serialize(params))
+            print(f"converted {src} -> {dst}")
 
 
 if __name__ == "__main__":

@@ -92,3 +92,40 @@ def test_decomp_wavelet_features_match_arch_path():
     q1, q2 = jax.jit(lambda p, x: net.apply({"params": p}, x))(params, img)  # model1: no PostSmooth
     np.testing.assert_allclose(q1_full, np.asarray(q1), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(q2_full, np.asarray(q2), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("model_type", ["model1", "model4"])
+def test_decomp_retrain_checkpoints_match_reference(model_type):
+    """The *_retrain_999 drops (QD/checkpoints/) converted and shipped; same
+    arch, different weights — spot-check torch parity on two of them."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from bem_tpu.qd.convert import CHECKPOINT_DIR, load_decomp_params
+    from bem_tpu.qd.models import Decomp
+
+    if not os.path.exists(
+            os.path.join(CHECKPOINT_DIR, f"{model_type}_retrain_999.msgpack")):
+        pytest.skip("retrain checkpoint not converted")
+    ckpt = os.path.join(REF_QD, "checkpoints", f"{model_type}_retrain_999.pth")
+    ref_mod = _load_ref_module(model_type)
+    ref = ref_mod.Decomp(use_wavelets=True)
+    sd = torch.load(ckpt, map_location="cpu",
+                    weights_only=False)["model_state_dict"]
+    ref.load_state_dict(sd)
+    ref.eval()
+
+    rng = np.random.default_rng(2)
+    img = rng.random((1, 3, 16, 24)).astype(np.float32)
+    with torch.no_grad():
+        q1_ref, q2_ref = ref(torch.from_numpy(img))
+
+    params = load_decomp_params(f"{model_type}_retrain")
+    net = Decomp(model_type=model_type)
+    img_j = jnp.asarray(img.transpose(0, 2, 3, 1))
+    q1, q2 = jax.jit(lambda p, x: net.apply({"params": p}, x))(params, img_j)
+    np.testing.assert_allclose(np.asarray(q1).transpose(0, 3, 1, 2),
+                               q1_ref.numpy(), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(q2).transpose(0, 3, 1, 2),
+                               q2_ref.numpy(), rtol=1e-4, atol=2e-4)
