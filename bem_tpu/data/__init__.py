@@ -43,11 +43,16 @@ class EnlargedSampler:
     shuffle (data_sampler.py:6-48)."""
 
     def __init__(self, num_samples: int, num_replicas: int = 1, rank: int = 0,
-                 ratio: int = 1):
+                 ratio: int = 1, seed: int = 0):
         self.dataset_len = num_samples
         self.num_replicas = num_replicas
         self.rank = rank
         self.epoch = 0
+        # compose the experiment seed with the epoch: the reference seeds its
+        # generator with the epoch alone (data_sampler.py:38) but re-injects
+        # manual_seed through torch worker seeding, which the threaded loader
+        # has no equivalent of — composing here keeps seed sweeps independent
+        self.seed = seed or 0
         self.num_samples = int(np.ceil(num_samples * ratio / num_replicas))
         self.total_size = self.num_samples * num_replicas
 
@@ -55,7 +60,7 @@ class EnlargedSampler:
         self.epoch = epoch
 
     def __iter__(self):
-        g = np.random.default_rng(self.epoch)
+        g = np.random.default_rng((self.seed, self.epoch))
         indices = g.permutation(self.total_size).tolist()
         indices = [i % self.dataset_len for i in indices]
         return iter(indices[self.rank : self.total_size : self.num_replicas])

@@ -71,12 +71,35 @@ def augment(imgs, hflip=True, rotation=True, flows=None, return_status=False,
             img = img.transpose(1, 0, 2) if img.ndim == 3 else img.T
         return np.ascontiguousarray(img)
 
+    def _augment_flow(flow):
+        # flipping a flow map also negates the flipped component; rot90
+        # swaps the (dx, dy) channels (reference transforms.py:172-184)
+        flow = np.array(flow, copy=True)
+        if hflip:
+            flow = flow[:, ::-1]
+            flow[:, :, 0] = -flow[:, :, 0]
+        if vflip:
+            flow = flow[::-1, :]
+            flow[:, :, 1] = -flow[:, :, 1]
+        if rot90:
+            flow = flow.transpose(1, 0, 2)
+            flow = flow[:, :, [1, 0]]
+        return np.ascontiguousarray(flow)
+
     squeeze = not isinstance(imgs, list)
     if squeeze:
         imgs = [imgs]
     imgs = [_augment(i) for i in imgs]
     if squeeze:
         imgs = imgs[0]
+    if flows is not None:
+        f_squeeze = not isinstance(flows, list)
+        if f_squeeze:
+            flows = [flows]
+        flows = [_augment_flow(f) for f in flows]
+        if f_squeeze:
+            flows = flows[0]
+        return imgs, flows
     if return_status:
         return imgs, (hflip, vflip, rot90)
     return imgs

@@ -14,6 +14,7 @@ from os import path as osp
 import numpy as np
 
 from ..utils.file_client import FileClient
+from ..utils.flow_util import dequantize_flow
 from ..utils.img_util import imfrombytes, img2tensor
 from ..utils.registry import DATASET_REGISTRY
 from .data_util import scandir
@@ -62,6 +63,7 @@ class REDSDataset:
         self.opt = opt
         self.gt_root = opt["dataroot_gt"]
         self.lq_root = opt["dataroot_lq"]
+        self.flow_root = opt.get("dataroot_flow")
         assert opt["num_frame"] % 2 == 1
         self.num_frame = opt["num_frame"]
         self.num_half_frames = opt["num_frame"] // 2
@@ -117,11 +119,46 @@ class REDSDataset:
             )
             for n in neighbors
         ]
+        img_flows = None
+        if self.flow_root is not None:
+            # quantized flows (uint8 dx/dy stacked on axis 0, max_val=20,
+            # denorm=False) for the center frame's _p/_n neighbors
+            # (reds_dataset.py:143-167)
+            img_flows = []
+            for rng_, tag in ((range(self.num_half_frames, 0, -1), "p"),
+                              (range(1, self.num_half_frames + 1), "n")):
+                for i in rng_:
+                    fpath = osp.join(self.flow_root, clip_name,
+                                     f"{frame_name}_{tag}{i}.png")
+                    cat_flow = imfrombytes(
+                        self.file_client.get(fpath, "flow"),
+                        flag="grayscale", float32=False)
+                    dx, dy = np.split(cat_flow, 2, axis=0)
+                    img_flows.append(
+                        dequantize_flow(dx, dy, max_val=20, denorm=False))
+            # crop flows jointly with the LQ frames (same spatial size)
+            img_lqs.extend(img_flows)
+
         img_gt, img_lqs = paired_random_crop(img_gt, img_lqs, gt_size, scale, gt_path)
-        imgs = augment(img_lqs + [img_gt], self.opt.get("use_hflip", True),
-                       self.opt.get("use_rot", True))
+        if img_flows is not None:
+            img_lqs, img_flows = (img_lqs[: self.num_frame],
+                                  img_lqs[self.num_frame:])
+            imgs, img_flows = augment(
+                img_lqs + [img_gt], self.opt.get("use_hflip", True),
+                self.opt.get("use_rot", True), img_flows)
+        else:
+            imgs = augment(img_lqs + [img_gt], self.opt.get("use_hflip", True),
+                           self.opt.get("use_rot", True))
         img_lqs = np.stack([img2tensor(i) for i in imgs[:-1]])
         img_gt = img2tensor(imgs[-1])
+        if img_flows is not None:
+            # zero center flow inserted at the middle position
+            img_flows = [f.astype(np.float32) for f in img_flows]
+            img_flows.insert(self.num_half_frames,
+                             np.zeros_like(img_flows[0]))
+            flows = np.stack(img_flows)
+            return {"lq": img_lqs, "flow": flows, "gt": img_gt,
+                    "key": self.keys[index]}
         return {"lq": img_lqs, "gt": img_gt, "key": self.keys[index]}
 
     def __len__(self):

@@ -55,7 +55,8 @@ def create_train_val_dataloader(opt, logger):
             dataset_enlarge_ratio = dataset_opt.get("dataset_enlarge_ratio", 1)
             train_set = build_dataset(dataset_opt)
             train_sampler = EnlargedSampler(
-                len(train_set), opt["world_size"], opt["rank"], dataset_enlarge_ratio
+                len(train_set), opt["world_size"], opt["rank"],
+                dataset_enlarge_ratio, seed=opt.get("manual_seed") or 0,
             )
             train_loader = build_dataloader(
                 train_set, dataset_opt, num_gpu=opt.get("num_gpu", 1),

@@ -261,3 +261,107 @@ def test_meta_info_lists_shipped():
 
 
 import bem_tpu  # noqa: E402  (for the meta_info path test)
+
+
+# --------------------------------------------------------------------------
+# REDS optional flow supervision (reds_dataset.py:143-199) + flow [de]quantize
+# (flow_util.py:76-170, mmcv formulas)
+# --------------------------------------------------------------------------
+
+
+def test_flow_quantize_roundtrip_mmcv():
+    from bem_tpu.utils.flow_util import (dequantize_flow, quantize,
+                                         quantize_flow)
+
+    rng = np.random.default_rng(3)
+    flow = (rng.random((10, 12, 2)).astype(np.float32) - 0.5) * 30
+    dx, dy = quantize_flow(flow, max_val=20, norm=False)
+    assert dx.dtype == np.uint8 and dx.shape == (10, 12)
+    # mmcv formula: floor(255 * (clip(v)+20)/40) capped at 254
+    exp_dx = np.minimum(
+        np.floor(255 * (np.clip(flow[..., 0], -20, 20) + 20) / 40), 254)
+    np.testing.assert_array_equal(dx, exp_dx.astype(np.uint8))
+    # zero maps to the bucket whose center is exactly 0 (the 255-level trick)
+    z = quantize(np.zeros(3), -20, 20, 255, np.uint8)
+    back = dequantize_flow(z.reshape(1, 3), z.reshape(1, 3), max_val=20,
+                           denorm=False)
+    np.testing.assert_allclose(back, 0.0, atol=1e-12)
+    # round-trip error bounded by half a bucket
+    rec = dequantize_flow(dx, dy, max_val=20, denorm=False)
+    np.testing.assert_allclose(rec, np.clip(flow, -20, 20), atol=20.0 / 254)
+
+
+def test_flowwrite_flowread_quantized(tmp_path):
+    from bem_tpu.utils.flow_util import flowread, flowwrite
+
+    rng = np.random.default_rng(5)
+    flow = (rng.random((8, 6, 2)).astype(np.float32) - 0.5) * 10
+    p = str(tmp_path / "f.png")
+    flowwrite(flow, p, quantize=True, max_val=20, norm=False)
+    rec = flowread(p, quantize=True, max_val=20, denorm=False)
+    assert rec.shape == (8, 6, 2) and rec.dtype == np.float32
+    np.testing.assert_allclose(rec, flow, atol=20.0 / 254)
+
+
+def test_augment_flow_semantics():
+    from bem_tpu.data.transforms import augment
+
+    rng_img = np.random.default_rng(7)
+    img = rng_img.random((6, 8, 3)).astype(np.float32)
+    flow = rng_img.random((6, 8, 2)).astype(np.float32)
+    # find a seed whose draws give (hflip, vflip, rot90) all True
+    seed = next(s for s in range(100)
+                if np.all(np.random.default_rng(s).random(3) < 0.5))
+    imgs, flows = augment([img], True, True, [flow],
+                          rng=np.random.default_rng(seed))
+    exp = flow[::-1, ::-1].copy()
+    exp[..., 0] = -exp[..., 0]   # hflip negates dx
+    exp[..., 1] = -exp[..., 1]   # vflip negates dy
+    exp = exp.transpose(1, 0, 2)[:, :, [1, 0]]  # rot90 swaps dx/dy
+    np.testing.assert_allclose(flows[0], exp)
+    np.testing.assert_allclose(imgs[0], img[::-1, ::-1].transpose(1, 0, 2))
+
+
+def test_reds_flow_branch(tmp_path):
+    root = str(tmp_path)
+    _make_clip_tree(root, clips=("001",), frames=6)
+    # quantized flows: dx/dy uint8 stacked on axis 0 (2h x w grayscale)
+    rng = np.random.default_rng(11)
+    for i in range(6):
+        for tag in ("p1", "n1"):
+            p = os.path.join(root, "flow", "001", f"{i:08d}_{tag}.png")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            cv2.imwrite(p, (rng.random((48, 24)) * 255).astype(np.uint8))
+    meta = tmp_path / "meta.txt"
+    meta.write_text("001 6 (24,24,3)\n")
+    cls = DATASET_REGISTRY.get("REDSDataset")
+    ds = cls({"dataroot_gt": os.path.join(root, "gt"),
+              "dataroot_lq": os.path.join(root, "lq"),
+              "dataroot_flow": os.path.join(root, "flow"),
+              "meta_info_file": str(meta), "val_partition": "REDS4",
+              "io_backend": {"type": "disk"}, "num_frame": 3, "gt_size": 16,
+              "scale": 1, "frames_per_clip": 6, "phase": "train",
+              "use_hflip": True, "use_rot": True})
+    s = ds[0]
+    assert s["lq"].shape == (3, 16, 16, 3)
+    assert s["gt"].shape == (16, 16, 3)
+    assert s["flow"].shape == (3, 16, 16, 2)  # _p1, zero center, _n1
+    np.testing.assert_array_equal(s["flow"][1], 0.0)  # inserted center flow
+    assert s["flow"].dtype == np.float32
+    assert np.abs(s["flow"][0]).max() <= 20.0
+
+
+def test_enlarged_sampler_seed_composition():
+    """Different manual_seed => different shuffle order; same seed+epoch =>
+    identical; different epochs differ (data_sampler.py:38 + worker-seed
+    composition the threaded loader otherwise drops)."""
+    from bem_tpu.data import EnlargedSampler
+
+    a = EnlargedSampler(100, 1, 0, seed=1)
+    b = EnlargedSampler(100, 1, 0, seed=2)
+    c = EnlargedSampler(100, 1, 0, seed=1)
+    assert list(a) != list(b)
+    assert list(a) == list(c)
+    a.set_epoch(1)
+    c.set_epoch(2)
+    assert list(a) != list(c)
