@@ -173,6 +173,40 @@ def convert_network_state(
     return assemble(m.out)
 
 
+def convert_dualbranch_state(
+    sd: Dict[str, np.ndarray], num_blocks=(2, 2, 2)
+) -> Dict[str, Any]:
+    """torch DecompDualBranchDDWavelet / DecompDualBranch2 branch weights ->
+    flax params for the ``branches`` (_DualBranchUNet) subtree
+    (DecompDualBranchDDWavelet_arch.py:148-300; the frozen ``decomp.*`` keys
+    are intentionally ignored — inject them with the arch's load_frozen)."""
+    m = _Mapper(sd)
+    levels = len(num_blocks) - 1
+
+    def level(dst, src, nb):
+        for b in range(nb):
+            _convert_vss_block(m, f"{dst}/block_{b}", f"{src}.{b}")
+
+    for tag in ("Q1", "Q2"):
+        m.conv(f"branches/first_conv_{tag}", f"first_conv_{tag}")
+        for i in range(levels):
+            level(f"branches/enc_{tag}_{i}", f"encoders_{tag}.{i}",
+                  num_blocks[i])
+            m.conv(f"branches/down_{tag}_{i}", f"down_layers_{tag}.{i}")
+    m.conv("branches/bottleneck_fuse", "bottleneck_fuse")
+    level("branches/bottleneck", "bottleneck_block", num_blocks[-1])
+    m.conv("branches/bottleneck_to_Q1", "bottleneck_to_Q1")
+    m.conv("branches/bottleneck_to_Q2", "bottleneck_to_Q2")
+    for tag in ("Q1", "Q2"):
+        for i in range(levels):
+            m.conv_t(f"branches/up_{tag}_{i}", f"decoders_{tag}.{i}.up")
+            m.conv(f"branches/fuse_{tag}_{i}", f"decoders_{tag}.{i}.fuse")
+            level(f"branches/dec_{tag}_{i}", f"decoders_{tag}.{i}.block",
+                  num_blocks[levels - 1 - i])
+        m.conv(f"branches/proj_{tag}", f"proj_{tag}")
+    return assemble(m.out)
+
+
 def convert_network_checkpoint(path: str, param_key: str = "params",
                                **kwargs) -> Dict[str, Any]:
     import torch

@@ -197,3 +197,21 @@ def load_ref_metric_modules():
     uciqe = _exec(f"{REF}/basicsr/metrics/uciqe_uiqm.py",
                   "basicsr.metrics.uciqe_uiqm")
     return {"psnr_ssim": psnr_ssim, "niqe": niqe, "uciqe_uiqm": uciqe}
+
+
+def load_ref_ddwavelet_module():
+    """Import the reference DecompDualBranchDDWavelet_arch (torch) — the
+    flagship arch — on top of the Network skeleton. Returns the arch module;
+    construct instances with cwd=/root/reference so the QD checkpoint's
+    relative path resolves (DecompDualBranchDDWavelet_arch.py:58-67)."""
+    import importlib
+
+    load_ref_network_module()
+
+    qd_pkg = types.ModuleType("basicsr.QD")
+    qd_pkg.__path__ = [f"{REF}/basicsr/QD"]
+    sys.modules["basicsr.QD"] = qd_pkg
+    for name in ("quaternion", "model1", "model2", "model3", "model4"):
+        _exec(f"{REF}/basicsr/QD/{name}.py", f"basicsr.QD.{name}")
+    return importlib.import_module(
+        "basicsr.archs.DecompDualBranchDDWavelet_arch")
