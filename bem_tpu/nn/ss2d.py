@@ -161,9 +161,17 @@ class SS2D(nn.Module):
         # fused tail) also fuses the stem: in_proj + dwconv + silu run as one
         # pallas program (ops/gdmlp_fused.py stem_fused_cf)
         backend = self.scan_backend or default_backend()
-        fused_cf = (cf and backend == "pallas" and scans == 0
-                    and flags["out_norm"] == "ln" and disable_z
-                    and not flags["oact"])
+        # the fused serving core (split-direction scan kernels + fused
+        # merge+LN+out_proj tail) applies to BOTH layouts: in NHWC the core
+        # still runs channel-first internally (two roofline boundary
+        # transposes), because at narrow C the CF kernels beat the
+        # lane-padded NHWC composition
+        import os
+        fused_core = (backend == "pallas" and scans == 0
+                      and flags["out_norm"] == "ln" and disable_z
+                      and not flags["oact"]
+                      and os.environ.get("BEM_SS2D_FUSED_CORE", "1") != "0")
+        fused_cf = fused_core and cf
         z = None
 
         if fused_cf and self.d_conv == 3:
@@ -232,20 +240,22 @@ class SS2D(nn.Module):
         # ---- forward_corev2: cross-scan -> proj -> scan -> merge ------------
         A = -jnp.exp(A_logs.astype(jnp.float32))
         dtype = xs_in.dtype
-        if fused_cf:
-            # fully-fused CF serving path: per-sequence split scan kernels
+        if fused_core:
+            # fully-fused serving path: per-sequence split scan kernels
             # (in-kernel fwd/rev merge, no stacked copy — ops/ss2d_seq.py)
             # and a fused merge+LN+out_proj tail (ops/ss2d_tail.py). The only
             # XLA data movement left in the SS2D core is the two roofline
-            # transposes for the column sequence.
+            # transposes for the column sequence (plus, in NHWC, the
+            # boundary transposes into/out of the channel-first core).
             from ..ops.ss2d_fused_g import pick_group
             from ..ops.ss2d_seq import ss2d_seq_pair_g
             from ..ops.ss2d_tail import ss2d_tail_cf
 
+            xc = xs_in if cf else jnp.transpose(xs_in, (0, 3, 1, 2))
             G = pick_group(B_, d_inner, 320)
             Bg = B_ // G
-            row = xs_in.reshape(Bg, G * d_inner, L)
-            col = jnp.transpose(xs_in, (0, 1, 3, 2)).reshape(
+            row = xc.reshape(Bg, G * d_inner, L)
+            col = jnp.transpose(xc, (0, 1, 3, 2)).reshape(
                 Bg, G * d_inner, L)
             A4 = A.reshape(K, d_inner, N)
             D4 = Ds.reshape(K, d_inner)
@@ -265,6 +275,8 @@ class SS2D(nn.Module):
             out = ss2d_tail_cf(y_row, y_colT, on_scale, on_bias, wout,
                                bout, G)
             out = out.reshape(B_, self.d_model, H, W)
+            if not cf:
+                out = jnp.transpose(out, (0, 2, 3, 1))
             if self.dropout > 0 and self.has_rng("dropout"):
                 keep = 1.0 - self.dropout
                 mask = jax.random.bernoulli(

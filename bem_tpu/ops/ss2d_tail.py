@@ -41,13 +41,26 @@ def _tail_body(refs, has_bias: bool, bf16_dot: bool):
     else:
         (yr_ref, yc_ref, msum, bcast, sc_ref, bi_ref, w_ref, out_ref) = refs
 
+    # LN statistics need FULL f32 operand precision: Mosaic lowers f32 MXU
+    # dots as single-pass bf16 by default, and scan outputs are
+    # mean-dominated (|m| >> std), so bf16-truncated stats cost ~0.2
+    # absolute LN error on the real chip (invisible in interpret mode).
+    # These dots are (G,GC)@(GC,L) — tiny; the multi-pass cost is noise.
+    hi = jax.lax.Precision.HIGHEST
     y = yr_ref[0].astype(jnp.float32) + yc_ref[0].astype(jnp.float32)
-    m = jnp.dot(msum[...], y, preferred_element_type=jnp.float32)    # (G, L)
-    e2 = jnp.dot(msum[...], y * y, preferred_element_type=jnp.float32)
-    inv = jax.lax.rsqrt(e2 - m * m + _EPS)
-    mf = jnp.dot(bcast[...], m, preferred_element_type=jnp.float32)  # (GC, L)
-    invf = jnp.dot(bcast[...], inv, preferred_element_type=jnp.float32)
-    yn = (y - mf) * invf * sc_ref[...] + bi_ref[...]
+    m = jnp.dot(msum[...], y, preferred_element_type=jnp.float32,
+                precision=hi)                                        # (G, L)
+    mf = jnp.dot(bcast[...], m, preferred_element_type=jnp.float32,
+                 precision=hi)                                       # (GC, L)
+    # centered two-pass variance: the E[y^2]-E[y]^2 form cancels
+    # catastrophically when the per-pixel mean dominates the spread,
+    # costing a further ~1e-2 absolute LN error
+    yc = y - mf
+    var = jnp.dot(msum[...], yc * yc, preferred_element_type=jnp.float32,
+                  precision=hi)
+    invf = jnp.dot(bcast[...], jax.lax.rsqrt(var + _EPS),
+                   preferred_element_type=jnp.float32, precision=hi)
+    yn = yc * invf * sc_ref[...] + bi_ref[...]
     # the unfused path casts LN output to the compute dtype before the
     # out_proj matmul; mirror that (bf16 MXU operands on the bf16 serving
     # path, f32 otherwise). The CPU interpret backend cannot run bf16 dots,
