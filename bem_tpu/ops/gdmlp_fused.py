@@ -31,6 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .ss2d_fused import mm_precision
+
 
 def _gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
@@ -224,16 +226,17 @@ def gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H: int, Wd: int):
         _body, h=h, W=Wd, k=k, H=H, nblk=nblk,
         has_b1=b1 is not None, has_bdw=bdw is not None,
         has_b2=b2 is not None, dot_mode=dot_mode)
-    return pl.pallas_call(
-        kernel,
-        grid=(B, nblk),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Cout, L), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=not on_tpu,
-    )(*operands)
+    with mm_precision(x.dtype):
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nblk),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, Cout, L), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=not on_tpu,
+        )(*operands)
 
 
 def _stem_body(*refs, W: int, k: int, H: int, has_b1: bool, has_bdw: bool,
@@ -377,16 +380,17 @@ def stem_fused_cf(x, W1, b1, dw, bdw, H: int, Wd: int):
     kernel = functools.partial(
         _stem_body, W=Wd, k=k, H=H,
         has_b1=b1 is not None, has_bdw=bdw is not None, dot_mode=dot_mode)
-    return pl.pallas_call(
-        kernel,
-        grid=(B, nblk),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Dh, L), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=not on_tpu,
-    )(*operands)
+    with mm_precision(x.dtype):
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nblk),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, Dh, L), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=not on_tpu,
+        )(*operands)
 
 
 def _stem_vjp_fwd(x, W1, b1, dw, bdw, H, Wd):

@@ -40,6 +40,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def mm_precision(dtype):
+    """Dot-precision context for tracing a kernel over inputs of ``dtype``.
+
+    Mosaic lowers f32 MXU dots as single-pass bf16 at the DEFAULT precision
+    (same knob as XLA's), which costs ~2^-9 relative per dot — measured at
+    2e-3 end-to-end on the f32 SS2D path on a real v5e, and invisible to the
+    CPU interpret tests. f32 inputs therefore trace their kernels under full
+    f32 dot precision; bf16 inputs (the serving path) keep the fast default
+    since single-pass bf16 adds nothing beyond their own quantization.
+    """
+    import contextlib
+
+    if jnp.dtype(dtype) == jnp.float32:
+        return jax.default_matmul_precision("float32")
+    return contextlib.nullcontext()
+
 LBLK = 1024     # lanes (sequence positions) per block, forward
 BWD_LBLK = 512  # block size on the vjp path (fwd checkpoints + bwd kernel)
 SUB = 32        # level-1 segment length
@@ -248,17 +265,18 @@ def _run_fwd(xs2, Wx, Wdt, bias, A, D, with_ckpt: bool,
         lambda *refs, R, N, with_ckpt: _fwd_body(refs, R, N, with_ckpt),
         R=R, N=N, with_ckpt=with_ckpt,
     )
-    outs = pl.pallas_call(
-        kernel,
-        grid=(B, S, nL),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((C, N), jnp.float32),
-                        pltpu.VMEM((C, N), jnp.float32)],
-        interpret=jax.default_backend() != "tpu",
-    )(xs2, xs2, Wx, Wx, Wdt, Wdt, bias3, bias3, A, A, D3, D3,
-      E_f, E_r, F_f, F_r)
+    with mm_precision(xs2.dtype):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B, S, nL),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((C, N), jnp.float32),
+                            pltpu.VMEM((C, N), jnp.float32)],
+            interpret=jax.default_backend() != "tpu",
+        )(xs2, xs2, Wx, Wx, Wdt, Wdt, bias3, bias3, A, A, D3, D3,
+          E_f, E_r, F_f, F_r)
 
     if with_ckpt:
         y_f, y_r, ck_f, ck_r = outs

@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ss2d_fused import ss2d_dir_fused
+from .ss2d_fused import mm_precision, ss2d_dir_fused
 
 LBLK = 2048  # 22.9 -> 21.8 ms at GC=160 (sweep in PLAN.md)
 
@@ -268,17 +268,18 @@ def _run_fwd_g(xs2g, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N, lblk=LBLK):
         lambda *refs, GR, GN, N: _fwd_body(refs, GR, GN, N),
         GR=GR, GN=GN, N=N,
     )
-    y_f, y_r = pl.pallas_call(
-        kernel,
-        grid=(Bg, S, nL),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((GC, N), jnp.float32),
-                        pltpu.VMEM((GC, N), jnp.float32)],
-        interpret=jax.default_backend() != "tpu",
-    )(xs2g, xs2g, Wx_g, Wx_g, Wdt_g, Wdt_g, bias_g, bias_g, A_g, A_g,
-      D_g, D_g, ebn, ecn, E_f, E_r, Fb, eend_f, eend_r)
+    with mm_precision(xs2g.dtype):
+        y_f, y_r = pl.pallas_call(
+            kernel,
+            grid=(Bg, S, nL),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((GC, N), jnp.float32),
+                            pltpu.VMEM((GC, N), jnp.float32)],
+            interpret=jax.default_backend() != "tpu",
+        )(xs2g, xs2g, Wx_g, Wx_g, Wdt_g, Wdt_g, bias_g, bias_g, A_g, A_g,
+          D_g, D_g, ebn, ecn, E_f, E_r, Fb, eend_f, eend_r)
 
     y2 = (y_f.astype(jnp.float32) + y_r.astype(jnp.float32))[..., :L]
     return y2.astype(xs2g.dtype)

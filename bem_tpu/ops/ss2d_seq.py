@@ -43,6 +43,7 @@ from .ss2d_fused_g import (
     _expand_onehots,
     _expand_weights,
     _softplus,
+    mm_precision,
 )
 
 # direction indices in the reference cross2d order (csm_triton.py / vmamba
@@ -140,20 +141,21 @@ def _run_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N: int, d: int,
         lambda *refs, GR, GN, N, rev, merge: _dir_body(refs, GR, GN, N, rev, merge),
         GR=GR, GN=GN, N=N, rev=rev, merge=yin is not None,
     )
-    return pl.pallas_call(
-        kernel,
-        grid=(Bg, nL),
-        in_specs=in_specs,
-        out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct((Bg, GC, Lp), x.dtype),
-        scratch_shapes=[pltpu.VMEM((GC, N), jnp.float32)],
-        # the merge variant's extra y_f input block pushes the live set just
-        # past the default 16M scoped-vmem budget at GC=320/LBLK=2048;
-        # v5e has headroom above the default limit
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=jax.default_backend() != "tpu",
-    )(*operands)
+    with mm_precision(x.dtype):
+        return pl.pallas_call(
+            kernel,
+            grid=(Bg, nL),
+            in_specs=in_specs,
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct((Bg, GC, Lp), x.dtype),
+            scratch_shapes=[pltpu.VMEM((GC, N), jnp.float32)],
+            # the merge variant's extra y_f input block pushes the live set
+            # just past the default 16M scoped-vmem budget at GC=320/
+            # LBLK=2048; v5e has headroom above the default limit
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=jax.default_backend() != "tpu",
+        )(*operands)
 
 
 def _seq_pair_ref(xseq, Wx, Wdt, bias, A, D, d_f: int, d_r: int):

@@ -30,6 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .ss2d_fused import mm_precision
+
 _EPS = 1e-5
 _LBLK = 2048
 
@@ -160,14 +162,15 @@ def ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G: int):
     kernel = functools.partial(
         lambda *refs, has_bias, bf16_dot: _tail_body(refs, has_bias, bf16_dot),
         has_bias=has_bias, bf16_dot=dot_mode)
-    out = pl.pallas_call(
-        kernel,
-        grid=(Bg, nL),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((Bg, G * Cout, Lp), y_row.dtype),
-        interpret=jax.default_backend() != "tpu",
-    )(*operands)
+    with mm_precision(y_row.dtype):
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bg, nL),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((Bg, G * Cout, Lp), y_row.dtype),
+            interpret=jax.default_backend() != "tpu",
+        )(*operands)
     return out[..., :L]
 
 
