@@ -11,6 +11,7 @@ module set the reference converts (tools.py:48-63).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
@@ -47,7 +48,22 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        inner = self.block_layout or self.layout
+        inner = self.block_layout
+        if inner is None and self.layout == "NHWC" and self.mlp_type == "gdmlp":
+            # auto: on the pallas (TPU) backend, sub-lane-width levels run
+            # the block interior channel-first — the fused CF kernels (SS2D
+            # core, gdMlp, LN) measured 67-71 vs 104.9 ms per L0 VSSBlock
+            # (C=40, 3.2x NHWC lane padding) with one transpose pair per
+            # 2-block sequence; C=80 ties (37.3 vs 37.4) and C=160 loses
+            # (24.6 vs 20.3 — 1.6x padding is already mild), hence the
+            # dim < 128 gate. Opt out with BEM_BLOCK_CF=0.
+            from ..ops.scan import default_backend
+
+            if (self.dim < 128
+                    and (self.scan_backend or default_backend()) == "pallas"
+                    and os.environ.get("BEM_BLOCK_CF", "1") != "0"):
+                inner = "NCHW"
+        inner = inner or self.layout
         convert = inner != self.layout and not self.sam
         if convert:
             x = jnp.transpose(x, (0, 3, 1, 2) if inner == "NCHW"

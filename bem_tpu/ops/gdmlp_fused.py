@@ -35,7 +35,28 @@ from .ss2d_fused import mm_precision
 
 
 def _gelu_exact(x):
-    return jax.nn.gelu(x, approximate=False)
+    """Exact (erf) GELU, Mosaic-lowerable.
+
+    Mosaic has no erf/erfc primitive (KernelType.TC lowering raises), so on
+    the compiled path erf comes from Abramowitz & Stegun 7.1.26 (rational in
+    1/(1+p|z|) times exp(-z^2), max abs error 1.5e-7) — two decades below the
+    kernels' 2e-4 parity tolerance and far below bf16 serving noise. The
+    interpret path keeps jax.nn.gelu so CPU goldens compare true erf.
+    NOT the tanh approximation (a real framework-parity bug in round 2).
+    """
+    if jax.default_backend() != "tpu":
+        return jax.nn.gelu(x, approximate=False)
+    z = x * np.float32(2.0 ** -0.5)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + np.float32(0.3275911) * az)
+    poly = t * (np.float32(0.254829592)
+                + t * (np.float32(-0.284496736)
+                       + t * (np.float32(1.421413741)
+                              + t * (np.float32(-1.453152027)
+                                     + t * np.float32(1.061405429)))))
+    erf_az = 1.0 - poly * jnp.exp(-az * az)
+    erf_z = jnp.sign(z) * erf_az
+    return 0.5 * x * (1.0 + erf_z)
 
 
 def _pick_rows(H: int, W: int, budget: int = 4096) -> int:
