@@ -132,10 +132,23 @@ class SS2D(nn.Module):
     act_layer: str = "silu"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        """x: (B, H, W, d_model) or (B, d_model, H, W) -> same layout."""
+    def __call__(self, x: jax.Array, hw: Optional[tuple] = None) -> jax.Array:
+        """x: (B, H, W, d_model) or (B, d_model, H, W) -> same layout.
+
+        layout='NCHW' additionally accepts the flattened form (B, d_model,
+        H*W) with ``hw=(H, W)`` and returns it flattened: TPU physical
+        layouts tile the two minor dims, so a (C, L)-flat stream lets the
+        grouped kernel reshapes be free bitcasts while (B, C, H, W) would
+        re-tile to (H, W) between every op (measured ~110 ms/iter of pure
+        relayout in the serving pipeline).
+        """
         base, flags = parse_forward_type(self.forward_type)
+        flat = x.ndim == 3
+        if flat and hw is None:
+            raise ValueError("3-D (flat CF) input requires hw=(H, W)")
         if base.startswith("m"):
+            if flat:
+                x = x.reshape(x.shape[0], x.shape[1], *hw)
             return self._forward_m0(x, base, flags)
         if base not in _SCAN_MODES:
             raise NotImplementedError(f"forward_type base {base!r}")
@@ -151,7 +164,12 @@ class SS2D(nn.Module):
         disable_z = flags["noz"]
         bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init)
 
-        if cf:
+        if flat:
+            if not cf:
+                raise ValueError("flat input requires layout='NCHW'")
+            B_ = x.shape[0]
+            H, W = hw
+        elif cf:
             B_, _, H, W = x.shape
         else:
             B_, H, W, _ = x.shape
@@ -184,11 +202,14 @@ class SS2D(nn.Module):
                                 groups=d_inner, use_bias=self.conv_bias,
                                 name="conv2d", **bayes)()
             dwtaps = jnp.transpose(k_cv[:, :, 0], (2, 0, 1)).reshape(d_inner, 9)
+            # stays (B, d_inner, L): the fused core consumes the flat form
             xs_in = stem_fused_cf(
                 x.reshape(B_, self.d_model, L), jnp.transpose(k_in), b_in,
                 dwtaps, b_cv, H, W,
-            ).reshape(B_, d_inner, H, W)
+            )
         else:
+            if flat:
+                x = x.reshape(B_, self.d_model, H, W)
             # ---- in_proj (+ optional gate z) -------------------------------
             d_proj = d_inner if disable_z else 2 * d_inner
             xz = Dense(d_proj, use_bias=self.bias, name="in_proj",
@@ -251,12 +272,21 @@ class SS2D(nn.Module):
             from ..ops.ss2d_seq import ss2d_seq_pair_g
             from ..ops.ss2d_tail import ss2d_tail_cf
 
-            xc = xs_in if cf else jnp.transpose(xs_in, (0, 3, 1, 2))
+            if xs_in.ndim == 3:
+                xf = xs_in  # flat CF stream, (B, d_inner, L)
+            elif cf:
+                xf = xs_in.reshape(B_, d_inner, L)
+            else:
+                xf = jnp.transpose(xs_in, (0, 3, 1, 2)).reshape(
+                    B_, d_inner, L)
             G = pick_group(B_, d_inner, 320)
             Bg = B_ // G
-            row = xc.reshape(Bg, G * d_inner, L)
-            col = jnp.transpose(xc, (0, 1, 3, 2)).reshape(
-                Bg, G * d_inner, L)
+            # grouping folds the batch into sublanes; on the (C, L)-tiled
+            # flat stream these reshapes are free bitcasts
+            row = xf.reshape(Bg, G * d_inner, L)
+            col = jnp.transpose(
+                xf.reshape(B_, d_inner, H, W), (0, 1, 3, 2)
+            ).reshape(Bg, G * d_inner, L)
             A4 = A.reshape(K, d_inner, N)
             D4 = Ds.reshape(K, d_inner)
             y_row = ss2d_seq_pair_g(row, x_proj_weight, dt_projs_weight,
@@ -274,9 +304,12 @@ class SS2D(nn.Module):
             )()
             out = ss2d_tail_cf(y_row, y_colT, on_scale, on_bias, wout,
                                bout, G)
-            out = out.reshape(B_, self.d_model, H, W)
-            if not cf:
-                out = jnp.transpose(out, (0, 2, 3, 1))
+            if flat:
+                out = out.reshape(B_, self.d_model, L)
+            else:
+                out = out.reshape(B_, self.d_model, H, W)
+                if not cf:
+                    out = jnp.transpose(out, (0, 2, 3, 1))
             if self.dropout > 0 and self.has_rng("dropout"):
                 keep = 1.0 - self.dropout
                 mask = jax.random.bernoulli(
@@ -501,6 +534,8 @@ class SS2D(nn.Module):
             keep = 1.0 - self.dropout
             mask = jax.random.bernoulli(self.make_rng("dropout"), keep, out.shape)
             out = jnp.where(mask, out / keep, 0.0)
+        if flat:
+            out = out.reshape(B_, self.d_model, L)
         return out
 
     def _forward_m0(self, x: jax.Array, base: str, flags) -> jax.Array:

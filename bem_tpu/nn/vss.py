@@ -36,17 +36,24 @@ class GDMlp(nn.Module):
     layout: str = "NHWC"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, hw: Optional[tuple] = None) -> jax.Array:
         h = self.hidden_features
         if self.layout == "NCHW":
             # fully-fused CF path: 1x1 -> dw3x3 -> gate -> 1x1 in one pallas
             # program (ops/gdmlp_fused.py) — the 2h hidden never round-trips
             # HBM. Parameter tree identical to the unfused Conv2d stack.
+            # Accepts the flat (B, C, H*W) stream with hw=(H, W) and then
+            # returns it flat (see SS2D.__call__ on why flat CF matters).
             from ..ops.gdmlp_fused import gdmlp_fused_cf
             from .layers import Conv2dParams
 
             bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init)
-            B, C, H, W = x.shape
+            flat = x.ndim == 3
+            if flat:
+                B, C, _ = x.shape
+                H, W = hw
+            else:
+                B, C, H, W = x.shape
             k_in, b_in = Conv2dParams(C, 2 * h, kernel_size=1,
                                       name="project_in", **bayes)()
             k_dw, b_dw = Conv2dParams(2 * h, 2 * h, kernel_size=3,
@@ -58,6 +65,8 @@ class GDMlp(nn.Module):
             W2 = jnp.transpose(k_out[0, 0])                   # (Cout, h)
             out = gdmlp_fused_cf(x.reshape(B, C, H * W), W1, b_in, dw, b_dw,
                                  W2, b_out, H, W)
+            if flat:
+                return out
             return out.reshape(B, self.out_features, H, W)
         bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init,
                      data_format=self.layout)
@@ -154,17 +163,34 @@ class VSSBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         ssm_branch = self.ssm_ratio > 0
-        ch_axis = 1 if self.layout == "NCHW" else -1
+        cf = self.layout == "NCHW"
+        ch_axis = 1 if cf else -1
         mlp_branch = self.mlp_ratio > 0
         drop = DropPath(self.drop_path, name="drop_path")
+
+        # CF interior runs on the flattened (B, C, H*W) stream: the two
+        # minor dims carry the TPU tile layout, so keeping (C, L) minor
+        # across LN/SS2D/MLP/residual makes the fused kernels' grouping
+        # reshapes bitcasts instead of (H, W)-retiling copies
+        hw = None
+        if cf:
+            if self.grid_size:
+                raise NotImplementedError("grid_size with layout='NCHW'")
+            B_, C_, H_, W_ = x.shape
+            hw = (H_, W_)
+            x = x.reshape(B_, C_, H_ * W_)
 
         # activation checkpointing (vmamba.py:1373-1377): remat the SS2D and
         # MLP submodules so their activations are recomputed in backward —
         # trades FLOPs for peak HBM at train time, no-op at inference
-        ss2d_cls = nn.remat(SS2D) if self.use_checkpoint else SS2D
+        # hw (arg index 2, counting self) is a static shape tuple
+        ss2d_cls = (nn.remat(SS2D, static_argnums=(2,))
+                    if self.use_checkpoint else SS2D)
         mlp_cls = _MLPS[self.mlp_type]
         if self.use_checkpoint:
-            mlp_cls = nn.remat(mlp_cls)
+            mlp_cls = (nn.remat(mlp_cls, static_argnums=(2,))
+                       if cf and self.mlp_type == "gdmlp"
+                       else nn.remat(mlp_cls))
 
         def run_op(h):
             op = ss2d_cls(
@@ -184,7 +210,7 @@ class VSSBlock(nn.Module):
                 name="op",
             )
             if not self.grid_size:
-                return op(h)
+                return op(h, hw) if cf else op(h)
             # windowed SS2D (vmamba.py:1336-1365): pad to window multiple,
             # partition, scan per window, reverse, crop
             ws = self.grid_size
@@ -220,8 +246,11 @@ class VSSBlock(nn.Module):
                     f"layout=NCHW with mlp_type={self.mlp_type}"
                 )
             mlp = mlp_cls(**mlp_kwargs)
+            mlp_args = (hw,) if (cf and self.mlp_type == "gdmlp") else ()
             if self.post_norm:
-                x = x + drop(norm2(mlp(x)))
+                x = x + drop(norm2(mlp(x, *mlp_args)))
             else:
-                x = x + drop(mlp(norm2(x)))
+                x = x + drop(mlp(norm2(x), *mlp_args))
+        if cf:
+            x = x.reshape(B_, C_, H_, W_)
         return x
