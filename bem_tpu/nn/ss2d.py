@@ -96,6 +96,19 @@ _FORCE_FP32 = {"v01": True, "v02": True, "v03": True, "v2": True,
                "v0": True, "v0seq": True}
 
 
+def _plain_ln(x, ln, axis):
+    """LayerNorm2d math on raw (scale, bias) params (fp32, eps 1e-5)."""
+    scale, bias = ln
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=axis, keepdims=True)
+    v = jnp.mean(jnp.square(xf - m), axis=axis, keepdims=True)
+    y = (xf - m) * jax.lax.rsqrt(v + 1e-5)
+    shape = [1] * x.ndim
+    shape[axis] = x.shape[axis]
+    y = y * scale.reshape(shape) + bias.reshape(shape)
+    return y.astype(x.dtype)
+
+
 class SS2D(nn.Module):
     """See module docstring. ``forward_type`` selects the variant:
     v0/v0seq (mamba-backend path, vmamba.py:293-436), v01-v05/v2 (+1d/2d/2dc
@@ -132,7 +145,8 @@ class SS2D(nn.Module):
     act_layer: str = "silu"
 
     @nn.compact
-    def __call__(self, x: jax.Array, hw: Optional[tuple] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, hw: Optional[tuple] = None,
+                 ln=None, residual: bool = False) -> jax.Array:
         """x: (B, H, W, d_model) or (B, d_model, H, W) -> same layout.
 
         layout='NCHW' additionally accepts the flattened form (B, d_model,
@@ -141,15 +155,30 @@ class SS2D(nn.Module):
         grouped kernel reshapes be free bitcasts while (B, C, H, W) would
         re-tile to (H, W) between every op (measured ~110 ms/iter of pure
         relayout in the serving pipeline).
+
+        ln=(scale, bias) applies the block's pre-norm inside this module
+        (fused into the stem kernel on the serving path) and residual=True
+        adds the pre-norm input to the output (fused into the tail kernel),
+        so VSSBlock's ``x + SS2D(LN(x))`` branch runs without separate XLA
+        LN/add passes. Non-fused paths apply them as plain ops — the math
+        is identical either way.
         """
         base, flags = parse_forward_type(self.forward_type)
         flat = x.ndim == 3
         if flat and hw is None:
             raise ValueError("3-D (flat CF) input requires hw=(H, W)")
+        x_res = x if residual else None
         if base.startswith("m"):
             if flat:
                 x = x.reshape(x.shape[0], x.shape[1], *hw)
-            return self._forward_m0(x, base, flags)
+            if ln is not None:
+                x = _plain_ln(x, ln, 1 if self.layout == "NCHW" else -1)
+            out = self._forward_m0(x, base, flags)
+            if residual:
+                out = out + (x_res.reshape(out.shape) if flat else x_res)
+            if flat:
+                out = out.reshape(out.shape[0], out.shape[1], -1)
+            return out
         if base not in _SCAN_MODES:
             raise NotImplementedError(f"forward_type base {base!r}")
         scans = _SCAN_MODES[base]
@@ -192,6 +221,9 @@ class SS2D(nn.Module):
         fused_cf = fused_core and cf
         z = None
 
+        ln_in_kernel = ln is not None and fused_cf and self.d_conv == 3
+        if ln is not None and not ln_in_kernel:
+            x = _plain_ln(x, ln, 1 if (cf or flat) else -1)
         if fused_cf and self.d_conv == 3:
             from ..ops.gdmlp_fused import stem_fused_cf
             from .layers import Conv2dParams as _ConvP, DenseParams as _DenseP
@@ -203,9 +235,10 @@ class SS2D(nn.Module):
                                 name="conv2d", **bayes)()
             dwtaps = jnp.transpose(k_cv[:, :, 0], (2, 0, 1)).reshape(d_inner, 9)
             # stays (B, d_inner, L): the fused core consumes the flat form
+            stem_ln = ln if ln_in_kernel else (None, None)
             xs_in = stem_fused_cf(
                 x.reshape(B_, self.d_model, L), jnp.transpose(k_in), b_in,
-                dwtaps, b_cv, H, W,
+                dwtaps, b_cv, H, W, stem_ln[0], stem_ln[1],
             )
         else:
             if flat:
@@ -302,19 +335,30 @@ class SS2D(nn.Module):
                 bayesian=self.bayesian, sigma_init=self.sigma_init,
                 name="out_proj",
             )()
+            use_dropout = self.dropout > 0 and self.has_rng("dropout")
+            # the residual stream folds into the tail when it shares the
+            # grouped CF layout (free bitcast from the flat stream) and no
+            # dropout has to run between out_proj and the add
+            res_in_kernel = residual and cf and not use_dropout
+            res_g = None
+            if res_in_kernel:
+                res_g = (x_res if flat else x_res.reshape(
+                    B_, self.d_model, L)).reshape(Bg, G * self.d_model, L)
             out = ss2d_tail_cf(y_row, y_colT, on_scale, on_bias, wout,
-                               bout, G)
+                               bout, G, res_g)
             if flat:
                 out = out.reshape(B_, self.d_model, L)
             else:
                 out = out.reshape(B_, self.d_model, H, W)
                 if not cf:
                     out = jnp.transpose(out, (0, 2, 3, 1))
-            if self.dropout > 0 and self.has_rng("dropout"):
+            if use_dropout:
                 keep = 1.0 - self.dropout
                 mask = jax.random.bernoulli(
                     self.make_rng("dropout"), keep, out.shape)
                 out = jnp.where(mask, out / keep, 0.0)
+            if residual and not res_in_kernel:
+                out = out + x_res
             return out
         if scans == 3:
             # cascade2d (vmamba.py:579-654): bidirectional row scan, LN,
@@ -536,6 +580,8 @@ class SS2D(nn.Module):
             out = jnp.where(mask, out / keep, 0.0)
         if flat:
             out = out.reshape(B_, self.d_model, L)
+        if residual:
+            out = out + x_res
         return out
 
     def _forward_m0(self, x: jax.Array, base: str, flags) -> jax.Array:

@@ -36,7 +36,8 @@ class GDMlp(nn.Module):
     layout: str = "NHWC"
 
     @nn.compact
-    def __call__(self, x: jax.Array, hw: Optional[tuple] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, hw: Optional[tuple] = None,
+                 ln=None, residual: bool = False) -> jax.Array:
         h = self.hidden_features
         if self.layout == "NCHW":
             # fully-fused CF path: 1x1 -> dw3x3 -> gate -> 1x1 in one pallas
@@ -63,8 +64,9 @@ class GDMlp(nn.Module):
             W1 = jnp.transpose(k_in[0, 0])                    # (2h, C)
             dw = jnp.transpose(k_dw[:, :, 0], (2, 0, 1)).reshape(2 * h, 9)
             W2 = jnp.transpose(k_out[0, 0])                   # (Cout, h)
+            lns, lnb = ln if ln is not None else (None, None)
             out = gdmlp_fused_cf(x.reshape(B, C, H * W), W1, b_in, dw, b_dw,
-                                 W2, b_out, H, W)
+                                 W2, b_out, H, W, lns, lnb, residual)
             if flat:
                 return out
             return out.reshape(B, self.out_features, H, W)
@@ -182,17 +184,21 @@ class VSSBlock(nn.Module):
 
         # activation checkpointing (vmamba.py:1373-1377): remat the SS2D and
         # MLP submodules so their activations are recomputed in backward —
-        # trades FLOPs for peak HBM at train time, no-op at inference
-        # hw (arg index 2, counting self) is a static shape tuple
-        ss2d_cls = (nn.remat(SS2D, static_argnums=(2,))
-                    if self.use_checkpoint else SS2D)
+        # trades FLOPs for peak HBM at train time, no-op at inference.
+        # In the CF case hw (arg 2, counting self) and residual (arg 4) are
+        # static
+        if self.use_checkpoint:
+            ss2d_cls = (nn.remat(SS2D, static_argnums=(2, 4)) if cf
+                        else nn.remat(SS2D))
+        else:
+            ss2d_cls = SS2D
         mlp_cls = _MLPS[self.mlp_type]
         if self.use_checkpoint:
-            mlp_cls = (nn.remat(mlp_cls, static_argnums=(2,))
+            mlp_cls = (nn.remat(mlp_cls, static_argnums=(2, 4))
                        if cf and self.mlp_type == "gdmlp"
                        else nn.remat(mlp_cls))
 
-        def run_op(h):
+        def run_op(h, ln=None, residual=False):
             op = ss2d_cls(
                 d_model=self.hidden_dim,
                 d_state=self.ssm_d_state,
@@ -210,7 +216,7 @@ class VSSBlock(nn.Module):
                 name="op",
             )
             if not self.grid_size:
-                return op(h, hw) if cf else op(h)
+                return op(h, hw, ln, residual) if cf else op(h)
             # windowed SS2D (vmamba.py:1336-1365): pad to window multiple,
             # partition, scan per window, reverse, crop
             ws = self.grid_size
@@ -225,13 +231,21 @@ class VSSBlock(nn.Module):
             return out[:, :H, :W, :]
 
         if ssm_branch:
-            norm = LayerNorm2d(name="norm", axis=ch_axis)
-            if self.post_norm:
-                x = x + drop(norm(run_op(x)))
+            if cf and not self.post_norm and self.drop_path == 0.0:
+                # x + SS2D(LN(x)) with LN and the residual folded into the
+                # SS2D kernels (stem / tail) — parameter tree identical to
+                # the LayerNorm2d module path
+                from .layers import LayerNormParams
+
+                ns, nb = LayerNormParams(self.hidden_dim, name="norm")()
+                x = run_op(x, (ns, nb), True)
             else:
-                x = x + drop(run_op(norm(x)))
+                norm = LayerNorm2d(name="norm", axis=ch_axis)
+                if self.post_norm:
+                    x = x + drop(norm(run_op(x)))
+                else:
+                    x = x + drop(run_op(norm(x)))
         if mlp_branch:
-            norm2 = LayerNorm2d(name="norm2", axis=ch_axis)
             mlp_kwargs = dict(
                 hidden_features=int(self.hidden_dim * self.mlp_ratio),
                 out_features=self.hidden_dim,
@@ -246,11 +260,20 @@ class VSSBlock(nn.Module):
                     f"layout=NCHW with mlp_type={self.mlp_type}"
                 )
             mlp = mlp_cls(**mlp_kwargs)
-            mlp_args = (hw,) if (cf and self.mlp_type == "gdmlp") else ()
-            if self.post_norm:
-                x = x + drop(norm2(mlp(x, *mlp_args)))
+            gd_cf = cf and self.mlp_type == "gdmlp"
+            if gd_cf and not self.post_norm and self.drop_path == 0.0:
+                # x + gdMlp(LN(x)) in one fused kernel call
+                from .layers import LayerNormParams
+
+                n2s, n2b = LayerNormParams(self.hidden_dim, name="norm2")()
+                x = mlp(x, hw, (n2s, n2b), True)
             else:
-                x = x + drop(mlp(norm2(x), *mlp_args))
+                norm2 = LayerNorm2d(name="norm2", axis=ch_axis)
+                mlp_args = (hw, None, False) if gd_cf else ()
+                if self.post_norm:
+                    x = x + drop(norm2(mlp(x, *mlp_args)))
+                else:
+                    x = x + drop(mlp(norm2(x), *mlp_args))
         if cf:
             x = x.reshape(B_, C_, H_, W_)
         return x

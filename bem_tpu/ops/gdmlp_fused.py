@@ -59,6 +59,22 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + erf_z)
 
 
+def _win_ln(x32, lns, lnb, dot_mode: str):
+    """Per-pixel LayerNorm over the C sublane rows of a (C, lanes) window.
+
+    Matches nn.layers.LayerNorm2d numerics (fp32 stats, eps 1e-5); on the
+    bf16 serving path the normalized activations are re-quantized to bf16
+    before the following MXU dot, mirroring the unfused path's dtype cast.
+    """
+    m = jnp.mean(x32, axis=0, keepdims=True)
+    v = jnp.mean(jnp.square(x32 - m), axis=0, keepdims=True)
+    y = (x32 - m) * jax.lax.rsqrt(v + 1e-5)
+    y = y * lns[...] + lnb[...]
+    if dot_mode == "interp_bf16":
+        y = y.astype(jnp.bfloat16).astype(jnp.float32)
+    return y
+
+
 def _pick_rows(H: int, W: int, budget: int = 4096) -> int:
     """Rows per block: largest divisor of H with k*W <= budget lanes."""
     k0 = max(1, budget // W)
@@ -70,9 +86,12 @@ def _pick_rows(H: int, W: int, budget: int = 4096) -> int:
 
 
 def _body(*refs, h: int, W: int, k: int, H: int, nblk: int, has_b1: bool,
-          has_bdw: bool, has_b2: bool, dot_mode: str):
+          has_bdw: bool, has_b2: bool, dot_mode: str, has_ln: bool,
+          residual: bool):
     it = iter(refs)
     xp_ref, xc_ref, xn_ref = next(it), next(it), next(it)
+    lns = next(it) if has_ln else None
+    lnb = next(it) if has_ln else None
     w1 = next(it)
     b1 = next(it) if has_b1 else None
     dw = next(it)
@@ -94,7 +113,10 @@ def _body(*refs, h: int, W: int, k: int, H: int, nblk: int, has_b1: bool,
     grow = lrow[...] + jnp.float32(i * k - 1)            # global row id
     rowmask = jnp.where(
         (grow >= 0.0) & (grow <= jnp.float32(H - 1)), 1.0, 0.0)
-    x32 = xin.astype(jnp.float32) * rowmask
+    x32 = xin.astype(jnp.float32)
+    if has_ln:
+        x32 = _win_ln(x32, lns, lnb, dot_mode)
+    x32 = x32 * rowmask
     if dot_mode == "tpu_bf16":
         hid = jnp.dot(w1[...], x32.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
@@ -137,13 +159,18 @@ def _body(*refs, h: int, W: int, k: int, H: int, nblk: int, has_b1: bool,
                       preferred_element_type=jnp.float32)
     if has_b2:
         out = out + b2[...]
+    if residual:
+        # out = x + gdmlp(LN(x)): the pre-norm center block doubles as the
+        # residual stream (requires Cout == C)
+        out = out + xc_ref[0].astype(jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _gdmlp_ref(x, W1, b1, dw, bdw, W2, b2, H, Wd):
+def _gdmlp_ref(x, W1, b1, dw, bdw, W2, b2, H, Wd, lns=None, lnb=None,
+               residual=False):
     """jnp composition oracle / backward path. x: (B, C, L) -> (B, Cout, L).
     Mirrors the kernel's numerics (fp32 math, bf16 MXU operand rounding on
-    the bf16 path)."""
+    the bf16 path), including the optional fused pre-LN and residual add."""
     B, C, L = x.shape
     h2 = W1.shape[0]
     h = h2 // 2
@@ -153,6 +180,12 @@ def _gdmlp_ref(x, W1, b1, dw, bdw, W2, b2, H, Wd):
         return a.astype(jnp.bfloat16).astype(jnp.float32) if bf else a.astype(jnp.float32)
 
     xi = x.astype(jnp.float32).reshape(B, C, H, Wd)
+    if lns is not None:
+        m = jnp.mean(xi, axis=1, keepdims=True)
+        v = jnp.mean(jnp.square(xi - m), axis=1, keepdims=True)
+        xi = (xi - m) * jax.lax.rsqrt(v + 1e-5)
+        xi = (xi * lns.astype(jnp.float32)[None, :, None, None]
+              + lnb.astype(jnp.float32)[None, :, None, None])
     hid = jnp.einsum("oc,bchw->bohw", mx(W1), mx(xi),
                      preferred_element_type=jnp.float32)
     if b1 is not None:
@@ -171,22 +204,33 @@ def _gdmlp_ref(x, W1, b1, dw, bdw, W2, b2, H, Wd):
                      preferred_element_type=jnp.float32)
     if b2 is not None:
         out = out + b2.astype(jnp.float32)[None, :, None, None]
-    return out.reshape(B, -1, L).astype(x.dtype)
+    out = out.reshape(B, -1, L)
+    if residual:
+        out = out + x.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H: int, Wd: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 11))
+def gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H: int, Wd: int,
+                   lns=None, lnb=None, residual: bool = False):
     """Fused gdMlp. x: (B, C, H*Wd) channel-first.
 
     W1 (2h, C) 1x1-in kernel; dw (2h, 9) depthwise 3x3 taps (row-major
     dy, dx); W2 (Cout, h) 1x1-out kernel; b* optional biases. Returns
     (B, Cout, H*Wd) in x.dtype.
+
+    lns/lnb (C,) fold the pre-MLP LayerNorm2d into the kernel (stats per
+    pixel over the C sublane rows); residual=True adds the pre-norm x to
+    the output (requires Cout == C) — together they run the whole
+    ``x + gdmlp(LN(x))`` block branch in one pallas program.
     """
     B, C, L = x.shape
     assert L == H * Wd, (L, H, Wd)
     h2 = W1.shape[0]
     h = h2 // 2
     Cout = W2.shape[0]
+    if residual:
+        assert Cout == C, (Cout, C)
 
     k = _pick_rows(H, Wd)
     nblk = H // k
@@ -222,8 +266,14 @@ def gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H: int, Wd: int):
     w1 = W1.astype(wdt)
     w2 = W2.astype(wdt)
     dwf = dw.astype(jnp.float32)
-    operands = [x, x, x, w1]
-    in_specs = [xspec_p, xspec_c, xspec_n, const(w1)]
+    operands = [x, x, x]
+    in_specs = [xspec_p, xspec_c, xspec_n]
+    if lns is not None:
+        operands += [lns.astype(jnp.float32).reshape(C, 1),
+                     lnb.astype(jnp.float32).reshape(C, 1)]
+        in_specs += [const(operands[-2]), const(operands[-1])]
+    operands.append(w1)
+    in_specs.append(const(w1))
     if b1 is not None:
         b1f = b1.astype(jnp.float32).reshape(h2, 1)
         operands.append(b1f)
@@ -246,7 +296,8 @@ def gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H: int, Wd: int):
     kernel = functools.partial(
         _body, h=h, W=Wd, k=k, H=H, nblk=nblk,
         has_b1=b1 is not None, has_bdw=bdw is not None,
-        has_b2=b2 is not None, dot_mode=dot_mode)
+        has_b2=b2 is not None, dot_mode=dot_mode,
+        has_ln=lns is not None, residual=residual)
     with mm_precision(x.dtype):
         return pl.pallas_call(
             kernel,
@@ -261,9 +312,11 @@ def gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H: int, Wd: int):
 
 
 def _stem_body(*refs, W: int, k: int, H: int, has_b1: bool, has_bdw: bool,
-               dot_mode: str):
+               dot_mode: str, has_ln: bool):
     it = iter(refs)
     xp_ref, xc_ref, xn_ref = next(it), next(it), next(it)
+    lns = next(it) if has_ln else None
+    lnb = next(it) if has_ln else None
     w1 = next(it)
     b1 = next(it) if has_b1 else None
     dw = next(it)
@@ -279,7 +332,10 @@ def _stem_body(*refs, W: int, k: int, H: int, has_b1: bool, has_bdw: bool,
     grow = lrow[...] + jnp.float32(i * k - 1)
     rowmask = jnp.where(
         (grow >= 0.0) & (grow <= jnp.float32(H - 1)), 1.0, 0.0)
-    x32 = xin.astype(jnp.float32) * rowmask
+    x32 = xin.astype(jnp.float32)
+    if has_ln:
+        x32 = _win_ln(x32, lns, lnb, dot_mode)
+    x32 = x32 * rowmask
     if dot_mode == "tpu_bf16":
         hid = jnp.dot(w1[...], x32.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
@@ -307,8 +363,8 @@ def _stem_body(*refs, W: int, k: int, H: int, has_b1: bool, has_bdw: bool,
     out_ref[0] = (conv * jax.nn.sigmoid(conv)).astype(out_ref.dtype)
 
 
-def _stem_ref(x, W1, b1, dw, bdw, H, Wd):
-    """jnp oracle: 1x1 proj -> dw3x3 -> silu, channel-first."""
+def _stem_ref(x, W1, b1, dw, bdw, H, Wd, lns=None, lnb=None):
+    """jnp oracle: [LN ->] 1x1 proj -> dw3x3 -> silu, channel-first."""
     B, C, L = x.shape
     bf = x.dtype == jnp.bfloat16
 
@@ -316,6 +372,12 @@ def _stem_ref(x, W1, b1, dw, bdw, H, Wd):
         return a.astype(jnp.bfloat16).astype(jnp.float32) if bf else a.astype(jnp.float32)
 
     xi = x.astype(jnp.float32).reshape(B, C, H, Wd)
+    if lns is not None:
+        m = jnp.mean(xi, axis=1, keepdims=True)
+        v = jnp.mean(jnp.square(xi - m), axis=1, keepdims=True)
+        xi = (xi - m) * jax.lax.rsqrt(v + 1e-5)
+        xi = (xi * lns.astype(jnp.float32)[None, :, None, None]
+              + lnb.astype(jnp.float32)[None, :, None, None])
     hid = jnp.einsum("oc,bchw->bohw", mx(W1), mx(xi),
                      preferred_element_type=jnp.float32)
     if b1 is not None:
@@ -334,7 +396,7 @@ def _stem_ref(x, W1, b1, dw, bdw, H, Wd):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def stem_fused_cf(x, W1, b1, dw, bdw, H: int, Wd: int):
+def stem_fused_cf(x, W1, b1, dw, bdw, H: int, Wd: int, lns=None, lnb=None):
     """Fused SS2D stem: in_proj 1x1 -> depthwise 3x3 -> SiLU, channel-first.
 
     Same kernel structure as :func:`gdmlp_fused_cf` without the gate/out
@@ -383,8 +445,14 @@ def stem_fused_cf(x, W1, b1, dw, bdw, H: int, Wd: int):
         arr.shape, lambda b, i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
     dwf = dw.astype(jnp.float32)
-    operands = [x, x, x, w1]
-    in_specs = [xspec_p, xspec_c, xspec_n, const(w1)]
+    operands = [x, x, x]
+    in_specs = [xspec_p, xspec_c, xspec_n]
+    if lns is not None:
+        operands += [lns.astype(jnp.float32).reshape(C, 1),
+                     lnb.astype(jnp.float32).reshape(C, 1)]
+        in_specs += [const(operands[-2]), const(operands[-1])]
+    operands.append(w1)
+    in_specs.append(const(w1))
     if b1 is not None:
         b1f = b1.astype(jnp.float32).reshape(Dh, 1)
         operands.append(b1f)
@@ -400,7 +468,8 @@ def stem_fused_cf(x, W1, b1, dw, bdw, H: int, Wd: int):
 
     kernel = functools.partial(
         _stem_body, W=Wd, k=k, H=H,
-        has_b1=b1 is not None, has_bdw=bdw is not None, dot_mode=dot_mode)
+        has_b1=b1 is not None, has_bdw=bdw is not None, dot_mode=dot_mode,
+        has_ln=lns is not None)
     with mm_precision(x.dtype):
         return pl.pallas_call(
             kernel,
@@ -414,21 +483,22 @@ def stem_fused_cf(x, W1, b1, dw, bdw, H: int, Wd: int):
         )(*operands)
 
 
-def _stem_vjp_fwd(x, W1, b1, dw, bdw, H, Wd):
-    out = stem_fused_cf(x, W1, b1, dw, bdw, H, Wd)
-    return out, (x, W1, b1, dw, bdw)
+def _stem_vjp_fwd(x, W1, b1, dw, bdw, H, Wd, lns, lnb):
+    out = stem_fused_cf(x, W1, b1, dw, bdw, H, Wd, lns, lnb)
+    return out, (x, W1, b1, dw, bdw, lns, lnb)
 
 
 def _stem_vjp_bwd(H, Wd, res, g):
-    x, W1, b1, dw, bdw = res
-    args = [x, W1, b1, dw, bdw]
+    x, W1, b1, dw, bdw, lns, lnb = res
+    args = [x, W1, b1, dw, bdw, lns, lnb]
     diff_idx = [i for i, a in enumerate(args) if a is not None]
 
     def f(*present):
         full = list(args)
         for i, v in zip(diff_idx, present):
             full[i] = v
-        return _stem_ref(*full, H, Wd)
+        return _stem_ref(full[0], full[1], full[2], full[3], full[4],
+                         H, Wd, full[5], full[6])
 
     _, vjp = jax.vjp(f, *[args[i] for i in diff_idx])
     grads_present = vjp(g)
@@ -441,21 +511,24 @@ def _stem_vjp_bwd(H, Wd, res, g):
 stem_fused_cf.defvjp(_stem_vjp_fwd, _stem_vjp_bwd)
 
 
-def _vjp_fwd(x, W1, b1, dw, bdw, W2, b2, H, Wd):
-    out = gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H, Wd)
-    return out, (x, W1, b1, dw, bdw, W2, b2)
+def _vjp_fwd(x, W1, b1, dw, bdw, W2, b2, H, Wd, lns, lnb, residual):
+    out = gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H, Wd, lns, lnb,
+                         residual)
+    return out, (x, W1, b1, dw, bdw, W2, b2, lns, lnb)
 
 
-def _vjp_bwd(H, Wd, res, g):
-    x, W1, b1, dw, bdw, W2, b2 = res
-    args = [x, W1, b1, dw, bdw, W2, b2]
+def _vjp_bwd(H, Wd, residual, res, g):
+    x, W1, b1, dw, bdw, W2, b2, lns, lnb = res
+    args = [x, W1, b1, dw, bdw, W2, b2, lns, lnb]
     diff_idx = [i for i, a in enumerate(args) if a is not None]
 
     def f(*present):
         full = list(args)
         for i, v in zip(diff_idx, present):
             full[i] = v
-        return _gdmlp_ref(*full, H, Wd)
+        return _gdmlp_ref(full[0], full[1], full[2], full[3], full[4],
+                          full[5], full[6], H, Wd, full[7], full[8],
+                          residual)
 
     _, vjp = jax.vjp(f, *[args[i] for i in diff_idx])
     grads_present = vjp(g)

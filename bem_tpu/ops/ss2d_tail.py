@@ -16,8 +16,10 @@ matrix contracts each image's C-chunk of sublanes per lane, and a
 (G*C, G) broadcast matrix expands the (G, L) statistics back — no
 sublane-segment reductions on the VPU.
 
-The residual add stays in the caller (it belongs to VSSBlock, whose x is
-not an SS2D input). Backward: custom_vjp through the jnp composition.
+An optional residual operand (the block's pre-norm stream, same grouped
+layout as the output) is added in-kernel, running the whole
+``x + SS2D(LN(x))`` branch tail without a separate XLA add pass.
+Backward: custom_vjp through the jnp composition.
 """
 
 from __future__ import annotations
@@ -36,12 +38,15 @@ _EPS = 1e-5
 _LBLK = 2048
 
 
-def _tail_body(refs, has_bias: bool, bf16_dot: bool):
-    if has_bias:
-        (yr_ref, yc_ref, msum, bcast, sc_ref, bi_ref, w_ref, bo_ref,
-         out_ref) = refs
-    else:
-        (yr_ref, yc_ref, msum, bcast, sc_ref, bi_ref, w_ref, out_ref) = refs
+def _tail_body(refs, has_bias: bool, bf16_dot: bool, has_res: bool):
+    refs = list(refs)
+    yr_ref, yc_ref, msum, bcast, sc_ref, bi_ref, w_ref = refs[:7]
+    i = 7
+    bo_ref = refs[i] if has_bias else None
+    i += int(has_bias)
+    res_ref = refs[i] if has_res else None
+    i += int(has_res)
+    out_ref = refs[i]
 
     # LN statistics need FULL f32 operand precision: Mosaic lowers f32 MXU
     # dots as single-pass bf16 by default, and scan outputs are
@@ -78,10 +83,12 @@ def _tail_body(refs, has_bias: bool, bf16_dot: bool):
     out = jnp.dot(w, yn, preferred_element_type=jnp.float32)
     if has_bias:
         out = out + bo_ref[...]
+    if has_res:
+        out = out + res_ref[0].astype(jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _tail_ref(y_row, y_colT, scale, bias, Wout, bout, G):
+def _tail_ref(y_row, y_colT, scale, bias, Wout, bout, G, res=None):
     """jnp composition (oracle / backward / non-TPU path)."""
     Bg, GC, L = y_row.shape
     C = GC // G
@@ -103,15 +110,19 @@ def _tail_ref(y_row, y_colT, scale, bias, Wout, bout, G):
                      preferred_element_type=jnp.float32)
     if bout is not None:
         out = out + bout.astype(jnp.float32)[None, None, :, None]
-    return out.reshape(Bg, G * Wout.shape[1], L).astype(y_row.dtype)
+    out = out.reshape(Bg, G * Wout.shape[1], L)
+    if res is not None:
+        out = out + res.astype(jnp.float32)
+    return out.astype(y_row.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G: int):
-    """Fused merge + LN + out_proj. y_row/y_colT: (B/G, G*C, L) CF.
+def ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G: int, res=None):
+    """Fused merge + LN + out_proj [+ residual]. y_row/y_colT: (B/G, G*C, L).
 
     scale/bias: (C,) LayerNorm2d params; Wout: (C, C_out) Dense kernel;
-    bout: (C_out,) or None. Returns (B/G, G*C_out, L) in y_row.dtype.
+    bout: (C_out,) or None; res: optional (B/G, G*C_out, L) residual
+    stream added to the output. Returns (B/G, G*C_out, L) in y_row.dtype.
     """
     Bg, GC, L = y_row.shape
     C = GC // G
@@ -153,6 +164,11 @@ def ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G: int):
         bo = jnp.tile(bout.astype(jnp.float32), G).reshape(G * Cout, 1)
         operands.append(bo)
         in_specs.append(const(bo))
+    if res is not None:
+        if Lp != L:
+            res = jnp.pad(res, ((0, 0), (0, 0), (0, Lp - L)))
+        operands.append(res)
+        in_specs.append(out_spec)
 
     on_tpu = jax.default_backend() == "tpu"
     if y_row.dtype == jnp.bfloat16:
@@ -160,8 +176,9 @@ def ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G: int):
     else:
         dot_mode = "f32"
     kernel = functools.partial(
-        lambda *refs, has_bias, bf16_dot: _tail_body(refs, has_bias, bf16_dot),
-        has_bias=has_bias, bf16_dot=dot_mode)
+        lambda *refs, has_bias, bf16_dot, has_res: _tail_body(
+            refs, has_bias, bf16_dot, has_res),
+        has_bias=has_bias, bf16_dot=dot_mode, has_res=res is not None)
     with mm_precision(y_row.dtype):
         out = pl.pallas_call(
             kernel,
@@ -169,28 +186,38 @@ def ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G: int):
             in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((Bg, G * Cout, Lp), y_row.dtype),
+            # the optional residual block pushes the live set past the 16M
+            # scoped-vmem default at GC=320/LBLK=2048; v5e has headroom
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=jax.default_backend() != "tpu",
         )(*operands)
     return out[..., :L]
 
 
-def _vjp_fwd(y_row, y_colT, scale, bias, Wout, bout, G):
-    out = ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G)
-    return out, (y_row, y_colT, scale, bias, Wout, bout)
+def _vjp_fwd(y_row, y_colT, scale, bias, Wout, bout, G, res):
+    out = ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G, res)
+    return out, (y_row, y_colT, scale, bias, Wout, bout, res)
 
 
-def _vjp_bwd(G, res, g):
-    y_row, y_colT, scale, bias, Wout, bout = res
-    if bout is None:
-        _, vjp = jax.vjp(
-            lambda yr, yc, s, b, w: _tail_ref(yr, yc, s, b, w, None, G),
-            y_row, y_colT, scale, bias, Wout)
-        dyr, dyc, ds, db, dw = vjp(g)
-        return dyr, dyc, ds, db, dw, None
-    _, vjp = jax.vjp(
-        lambda yr, yc, s, b, w, bo: _tail_ref(yr, yc, s, b, w, bo, G),
-        y_row, y_colT, scale, bias, Wout, bout)
-    return vjp(g)
+def _vjp_bwd(G, saved, g):
+    y_row, y_colT, scale, bias, Wout, bout, res = saved
+    args = [y_row, y_colT, scale, bias, Wout, bout, res]
+    diff_idx = [i for i, a in enumerate(args) if a is not None]
+
+    def f(*present):
+        full = list(args)
+        for i, v in zip(diff_idx, present):
+            full[i] = v
+        return _tail_ref(full[0], full[1], full[2], full[3], full[4],
+                         full[5], G, full[6])
+
+    _, vjp = jax.vjp(f, *[args[i] for i in diff_idx])
+    grads_present = vjp(g)
+    out = [None] * len(args)
+    for i, gv in zip(diff_idx, grads_present):
+        out[i] = gv
+    return tuple(out)
 
 
 ss2d_tail_cf.defvjp(_vjp_fwd, _vjp_bwd)
