@@ -84,7 +84,10 @@ def _seg_scan_add(w, b, reverse: bool):
 
     S = cumsum_seg(w)
     P = jnp.exp(S)
-    q = cumsum_seg(b * jnp.exp(-S))
+    # 1/P instead of exp(-S): one reciprocal pass replaces a second
+    # transcendental; S <= 0 so P in [exp(SEG_ADD*W_CLAMP), 1] and the
+    # reciprocal stays inside fp32 exactly like exp(-S) did
+    q = cumsum_seg(b * (1.0 / P))
     return P, P * q
 
 

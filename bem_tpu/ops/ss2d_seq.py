@@ -51,7 +51,8 @@ from .ss2d_fused_g import (
 PAIRS = {"row": (0, 2), "col": (1, 3)}
 
 
-def _dir_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool):
+def _dir_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
+              use_d: bool = True):
     if merge:
         (x_ref, wx, wdt, bias, A, D, ebn, ecn, E, Fb, eend, yin_ref,
          y_ref, h_ref) = refs
@@ -84,14 +85,15 @@ def _dir_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool):
         b_end = jnp.dot(b_pref, eend[...], preferred_element_type=jnp.float32)
         h_ref[:, n : n + 1] = a_end * h_ref[:, n : n + 1] + b_end
         y = y + C_bc * h
-    y = y + D[0] * x
+    if use_d:
+        y = y + D[0] * x
     if merge:
         y = y + yin_ref[0].astype(jnp.float32)
     y_ref[0] = y.astype(y_ref.dtype)
 
 
 def _run_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N: int, d: int,
-             rev: bool, yin=None, lblk: int = LBLK):
+             rev: bool, yin=None, lblk: int = LBLK, use_d: bool = True):
     """One scan direction over x (Bg, GC, Lp). Returns y (Bg, GC, Lp);
     if ``yin`` is given, y += yin (the in-kernel direction merge)."""
     Bg, GC, Lp = x.shape
@@ -138,8 +140,9 @@ def _run_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N: int, d: int,
         operands.append(yin)
 
     kernel = functools.partial(
-        lambda *refs, GR, GN, N, rev, merge: _dir_body(refs, GR, GN, N, rev, merge),
-        GR=GR, GN=GN, N=N, rev=rev, merge=yin is not None,
+        lambda *refs, GR, GN, N, rev, merge, use_d: _dir_body(
+            refs, GR, GN, N, rev, merge, use_d),
+        GR=GR, GN=GN, N=N, rev=rev, merge=yin is not None, use_d=use_d,
     )
     with mm_precision(x.dtype):
         return pl.pallas_call(
@@ -209,7 +212,11 @@ def ss2d_seq_pair_g(xseq_g, Wx, Wdt, bias, A, D, G: int, pair: str):
     C = Wx.shape[-1]
     N = A.shape[-1]
     Bg, GC, L = xseq_g.shape
-    Wx_g, Wdt_g, bias_g, A_g, D_g = _expand_weights(Wx, Wdt, bias, A, D, G)
+    # both directions of a pair scan the SAME x sequence, so their D*x
+    # skip terms are one combined FMA: the forward kernel skips D and the
+    # reverse (merging) kernel applies D_f + D_r — one full-width pass saved
+    D2 = D.at[d_r].add(D[d_f])
+    Wx_g, Wdt_g, bias_g, A_g, D_g = _expand_weights(Wx, Wdt, bias, A, D2, G)
     ebn = _expand_onehots(G, C, N)
 
     lblk = min(LBLK, -(-L // 128) * 128)
@@ -222,7 +229,7 @@ def ss2d_seq_pair_g(xseq_g, Wx, Wdt, bias, A, D, G: int, pair: str):
         x = jnp.pad(x, ((0, 0), (0, 0), (0, Lp - L)))
 
     y_f = _run_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ebn, N, d_f,
-                   rev=False, lblk=lblk)
+                   rev=False, lblk=lblk, use_d=False)
     y = _run_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ebn, N, d_r,
                  rev=True, yin=y_f, lblk=lblk)
     return y[..., :L]
