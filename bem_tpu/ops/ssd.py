@@ -171,3 +171,132 @@ def ssd_chunk_scan(
         y = y * (zf * jax.nn.sigmoid(zf))
     y = y.astype(x.dtype)
     return (y, final_state) if return_final_states else y
+
+
+def selective_state_update(
+    state: jax.Array,
+    x: jax.Array,
+    dt: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    C: jax.Array,
+    D: Optional[jax.Array] = None,
+    z: Optional[jax.Array] = None,
+    dt_bias: Optional[jax.Array] = None,
+    dt_softplus: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-token incremental decode step of the selective scan.
+
+    Functional counterpart of the reference's in-place Triton kernel
+    (mamba2/selective_state_update.py:119-201; torch spec :202-264):
+    one recurrence step ``h' = exp(dt*A) * h + dt * B * x`` followed by the
+    readout ``y = C . h' (+ D*x) (* silu(z))``. Because JAX arrays are
+    immutable the updated state is RETURNED instead of mutated:
+    ``new_state, out = selective_state_update(state, ...)``.
+
+    Shapes follow the reference: ``state (b, d, n)`` or ``(b, h, d, n)``;
+    ``x/dt (b, [h,] d)``; ``A (d, n)`` or ``(h, d, n)``; ``B/C (b, n)`` or
+    ``(b, g, n)`` with heads grouped g|h; optional ``D/dt_bias (d,)`` or
+    ``(h, d)``; optional gate ``z`` like ``x``. This is a tiny
+    elementwise + (d, n) contraction per step — XLA fuses it into one
+    kernel; no Pallas needed.
+    """
+    has_heads = state.ndim > 3
+    if state.ndim == 3:
+        state = state[:, None]
+    if x.ndim == 2:
+        x = x[:, None]
+    if dt.ndim == 2:
+        dt = dt[:, None]
+    if A.ndim == 2:
+        A = A[None]
+    if B.ndim == 2:
+        B = B[:, None]
+    if C.ndim == 2:
+        C = C[:, None]
+    if D is not None and D.ndim == 1:
+        D = D[None]
+    if z is not None and z.ndim == 2:
+        z = z[:, None]
+    if dt_bias is not None and dt_bias.ndim == 1:
+        dt_bias = dt_bias[None]
+    batch, nheads, dim, dstate = state.shape
+    if x.shape != (batch, nheads, dim) or dt.shape != x.shape:
+        raise ValueError(f"x/dt shape {x.shape}/{dt.shape} vs state {state.shape}")
+    if A.shape != (nheads, dim, dstate):
+        raise ValueError(f"A shape {A.shape}")
+    ngroups = B.shape[1]
+    if nheads % ngroups:
+        raise ValueError("nheads must be divisible by ngroups")
+    rep = nheads // ngroups
+
+    dtf = dt.astype(jnp.float32)
+    if dt_bias is not None:
+        dtf = dtf + dt_bias.astype(jnp.float32)[None]
+    if dt_softplus:
+        dtf = jax.nn.softplus(dtf)
+    dA = jnp.exp(dtf[..., None] * A.astype(jnp.float32)[None])  # (b,h,d,n)
+    Bh = jnp.repeat(B, rep, axis=1).astype(jnp.float32)         # (b,h,n)
+    Ch = jnp.repeat(C, rep, axis=1).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    dB = dtf[..., None] * Bh[:, :, None, :]                     # (b,h,d,n)
+    new_state = state.astype(jnp.float32) * dA + dB * xf[..., None]
+    out = jnp.einsum("bhdn,bhn->bhd", new_state, Ch)
+    if D is not None:
+        out = out + xf * D.astype(jnp.float32)[None]
+    if z is not None:
+        zf = z.astype(jnp.float32)
+        out = out * (zf * jax.nn.sigmoid(zf))
+    out = out.astype(x.dtype)
+    new_state = new_state.astype(state.dtype)
+    if not has_heads:
+        out = out[:, 0]
+        new_state = new_state[:, 0]
+    return new_state, out
+
+
+def layernorm_gated(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: Optional[jax.Array] = None,
+    z: Optional[jax.Array] = None,
+    eps: float = 1e-6,
+    group_size: Optional[int] = None,
+    norm_before_gate: bool = True,
+    is_rms_norm: bool = False,
+) -> jax.Array:
+    """Gated (group) Layer/RMS norm over the last axis.
+
+    Semantics of the reference's fused Triton layernorm
+    (mamba2/layernorm_gated.py:338-385; python spec rms_norm_ref :18-40):
+    ``norm(x) * silu(z)`` when ``norm_before_gate`` else ``norm(x*silu(z))``,
+    with fp32 statistics, optional ``group_size``-grouped moments, and the
+    affine applied over the FULL channel axis. One fused XLA elementwise
+    chain on TPU — the reference's kernel fusion falls out of jit for free.
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    w = weight.astype(jnp.float32)
+    b = bias.astype(jnp.float32) if bias is not None else None
+    zf = z.astype(jnp.float32) if z is not None else None
+    if zf is not None and not norm_before_gate:
+        xf = xf * (zf * jax.nn.sigmoid(zf))
+
+    def _norm(v):
+        if not is_rms_norm:
+            v = v - v.mean(axis=-1, keepdims=True)
+        return v * jax.lax.rsqrt(
+            jnp.square(v).mean(axis=-1, keepdims=True) + eps)
+
+    if group_size is None:
+        out = _norm(xf) * w
+    else:
+        if x.shape[-1] % group_size:
+            raise ValueError("group_size must divide the channel axis")
+        g = xf.reshape(xf.shape[:-1] + (-1, group_size))
+        out = _norm(g).reshape(xf.shape) * w
+    if b is not None:
+        out = out + b
+    if zf is not None and norm_before_gate:
+        out = out * (zf * jax.nn.sigmoid(zf))
+    return out.astype(dtype)

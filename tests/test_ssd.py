@@ -158,3 +158,139 @@ def test_grads_flow():
     for g in grads:
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).max()) > 0
+
+
+# ---- mamba2 aux ops: selective_state_update + layernorm_gated --------------
+
+REF_SSU = "/root/reference/basicsr/vmamba/models/mamba2/selective_state_update.py"
+REF_LNG = "/root/reference/basicsr/vmamba/models/mamba2/layernorm_gated.py"
+
+
+@pytest.fixture(scope="module")
+def ref_aux():
+    """Reference torch specs (selective_state_update_ref / rms_norm_ref)
+    exec'd with a triton stub rich enough for their kernel decorators."""
+    import sys
+    import types
+
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "triton" or k.startswith("triton.")}
+    triton = types.ModuleType("triton")
+    triton.jit = lambda f=None, **kw: (f if f is not None else (lambda g: g))
+    triton.heuristics = lambda *a, **k: (lambda f: f)
+    triton.autotune = lambda *a, **k: (lambda f: f)
+    triton.next_power_of_2 = lambda n: 1 << max(int(n) - 1, 0).bit_length()
+    triton.cdiv = lambda a, b: -(-a // b)
+    triton.Config = lambda *a, **k: types.SimpleNamespace(kwargs=k)
+    tl = types.ModuleType("triton.language")
+    tl.constexpr = object
+    tl.dtype = type("dtype", (), {})
+    triton.language = tl
+    sys.modules["triton"] = triton
+    sys.modules["triton.language"] = tl
+    try:
+        ssu = _exec(REF_SSU, "ref_selective_state_update")
+        lng = _exec(REF_LNG, "ref_layernorm_gated")
+    finally:
+        sys.modules.pop("triton", None)
+        sys.modules.pop("triton.language", None)
+        sys.modules.update(saved)
+    return ssu, lng
+
+
+@pytest.mark.parametrize("heads", [False, True])
+@pytest.mark.parametrize("with_extras", [False, True])
+def test_selective_state_update_parity(ref_aux, heads, with_extras):
+    from bem_tpu.ops.ssd import selective_state_update
+
+    ssu, _ = ref_aux
+    b, h, g, d, n = 2, 4, 2, 6, 8
+    if heads:
+        st = _rand(b, h, d, n, seed=10, scale=0.5)
+        x = _rand(b, h, d, seed=11)
+        dt = _rand(b, h, d, seed=12, scale=0.4)
+        A = -np.abs(_rand(h, d, n, seed=13, scale=0.5))
+        B = _rand(b, g, n, seed=14)
+        C = _rand(b, g, n, seed=15)
+        D = _rand(h, d, seed=16) if with_extras else None
+        z = _rand(b, h, d, seed=17) if with_extras else None
+        dtb = _rand(h, d, seed=18, scale=0.2) if with_extras else None
+    else:
+        st = _rand(b, d, n, seed=20, scale=0.5)
+        x = _rand(b, d, seed=21)
+        dt = _rand(b, d, seed=22, scale=0.4)
+        A = -np.abs(_rand(d, n, seed=23, scale=0.5))
+        B = _rand(b, n, seed=24)
+        C = _rand(b, n, seed=25)
+        D = _rand(d, seed=26) if with_extras else None
+        z = _rand(b, d, seed=27) if with_extras else None
+        dtb = _rand(d, seed=28, scale=0.2) if with_extras else None
+
+    t = lambda a: None if a is None else torch.from_numpy(a.copy())
+    st_t = t(st)
+    out_t = ssu.selective_state_update_ref(
+        st_t, t(x), t(dt), t(A), t(B), t(C), D=t(D), z=t(z),
+        dt_bias=t(dtb), dt_softplus=True)
+
+    j = lambda a: None if a is None else jnp.asarray(a)
+    new_state, out = selective_state_update(
+        j(st), j(x), j(dt), j(A), j(B), j(C), D=j(D), z=j(z),
+        dt_bias=j(dtb), dt_softplus=True)
+
+    np.testing.assert_allclose(np.asarray(out), out_t.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    # the reference mutates `state` in place; ours returns it
+    np.testing.assert_allclose(np.asarray(new_state), st_t.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    assert new_state.shape == st.shape and out.shape == x.shape
+
+
+@pytest.mark.parametrize("norm_before_gate", [True, False])
+@pytest.mark.parametrize("group_size", [None, 4])
+def test_rmsnorm_gated_parity(ref_aux, norm_before_gate, group_size):
+    from bem_tpu.ops.ssd import layernorm_gated
+
+    _, lng = ref_aux
+    b, l, c = 2, 5, 16
+    x = _rand(b, l, c, seed=30)
+    w = _rand(c, seed=31, scale=0.5) + 1.0
+    bb = _rand(c, seed=32, scale=0.2)
+    z = _rand(b, l, c, seed=33)
+
+    want = lng.rms_norm_ref(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(bb),
+        z=torch.from_numpy(z), eps=1e-6, group_size=group_size,
+        norm_before_gate=norm_before_gate).numpy()
+    got = layernorm_gated(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bb), z=jnp.asarray(z),
+        eps=1e-6, group_size=group_size, norm_before_gate=norm_before_gate,
+        is_rms_norm=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("norm_before_gate", [True, False])
+def test_layernorm_gated_ln_mode(ref_aux, norm_before_gate):
+    """is_rms_norm=False spec: norm(x)*silu(z) / norm(x*silu(z))
+    (layernorm_gated.py:343 docstring) with torch F.layer_norm."""
+    from bem_tpu.ops.ssd import layernorm_gated
+
+    import torch.nn.functional as F
+
+    b, l, c = 2, 5, 16
+    x = _rand(b, l, c, seed=40)
+    w = _rand(c, seed=41, scale=0.5) + 1.0
+    bb = _rand(c, seed=42, scale=0.2)
+    z = _rand(b, l, c, seed=43)
+
+    xt, zt = torch.from_numpy(x), torch.from_numpy(z)
+    if norm_before_gate:
+        want = (F.layer_norm(xt, (c,), torch.from_numpy(w),
+                             torch.from_numpy(bb), eps=1e-6)
+                * F.silu(zt)).numpy()
+    else:
+        want = F.layer_norm(xt * F.silu(zt), (c,), torch.from_numpy(w),
+                            torch.from_numpy(bb), eps=1e-6).numpy()
+    got = layernorm_gated(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bb), z=jnp.asarray(z),
+        eps=1e-6, norm_before_gate=norm_before_gate, is_rms_norm=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
