@@ -34,17 +34,41 @@ def main():
     ap.add_argument("--out", default="bem_tpu/enhancement/weights/clip_iqa_vitb32.npz")
     ap.add_argument("--prompts", nargs="+",
                     default=list(_PROMPT_PAIRS))
+    ap.add_argument("--seeded", type=int, default=None,
+                    help="build a fixed-seed random ViT-B/32 CLIPModel "
+                         "instead of downloading: a zero-egress bundle that "
+                         "proves the full --no_ref clip serving path "
+                         "(scores are NOT meaningful IQA)")
     args = ap.parse_args()
 
-    from transformers import CLIPModel, CLIPProcessor
-
-    model = CLIPModel.from_pretrained(args.src)
-    processor = CLIPProcessor.from_pretrained(args.src)
-
     texts = [t for p in args.prompts for t in _PROMPT_PAIRS[p]]
-    tok = processor.tokenizer(texts, padding="max_length", max_length=77,
-                              return_tensors="np")
-    text_embeds = text_embeds_from_torch(model, tok["input_ids"].astype(np.int64))
+    if args.seeded is not None:
+        import torch
+        from transformers import CLIPConfig, CLIPModel
+
+        torch.manual_seed(args.seeded)
+        model = CLIPModel(CLIPConfig())  # defaults == ViT-B/32 geometry
+        model.eval()
+        # deterministic tokenization without the BPE vocab: bos + stable
+        # hashed word ids + eot; get_text_features pools at argmax(ids),
+        # which is the 49407 eot (the true tokenizer's pooling rule too)
+        ids = np.zeros((len(texts), 77), np.int64)
+        for i, t in enumerate(texts):
+            words = t.split()[:75]
+            ids[i, 0] = 49406
+            for j, wrd in enumerate(words):
+                ids[i, 1 + j] = 1 + sum(wrd.encode()) * 331 % 49000
+            ids[i, 1 + len(words)] = 49407
+        text_embeds = text_embeds_from_torch(model, ids)
+    else:
+        from transformers import CLIPModel, CLIPProcessor
+
+        model = CLIPModel.from_pretrained(args.src)
+        processor = CLIPProcessor.from_pretrained(args.src)
+        tok = processor.tokenizer(texts, padding="max_length", max_length=77,
+                                  return_tensors="np")
+        text_embeds = text_embeds_from_torch(
+            model, tok["input_ids"].astype(np.int64))
 
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
     params = convert_clip_vision(sd)
