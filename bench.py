@@ -60,7 +60,12 @@ SCALE_DOWN = 16
 WINDOW = 4 * SCALE_DOWN
 
 
-def main():
+def build_pipeline(nimg: int = 2):
+    """The benched two-stage serving pipeline: jitted fn + example args.
+
+    Shared by main() and the trace tooling (tools/trace_buckets.py) so
+    profiles measure exactly the program of record.
+    """
     import os
 
     # persistent compile cache: the remote-compile service on this host
@@ -95,7 +100,7 @@ def main():
     Hp, Wp = H + ph, W + pw
     hc, wc = Hp // SCALE_DOWN, Wp // SCALE_DOWN
 
-    NIMG = 2  # images per pipeline call (throughput serving batch)
+    NIMG = nimg  # images per pipeline call (throughput serving batch)
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((NIMG, Hp, Wp, 3)), jnp.bfloat16)
@@ -135,6 +140,13 @@ def main():
 
     fn = jax.jit(pipeline)
     key = jax.random.PRNGKey(42)
+    return fn, (key, img, cond_in)
+
+
+def main():
+    NIMG = 2
+    fn, (key, img, cond_in) = build_pipeline(NIMG)
+    import jax
 
     # ---- self-validating timing protocol (round-3 hardening) ----------------
     # The remote-compile/tunnel path on this host intermittently degrades
