@@ -56,7 +56,7 @@ W_CLAMP = -10.0  # per-lane log-decay clamp: exp(-10) = 4.5e-5 decay is an
                  # fp32 state; same tolerance class as its expf pipeline)
 
 
-def _seg_scan_add(w, b, reverse: bool):
+def _seg_scan_add(w, b, reverse: bool, Tseg=None):
     """Within-SEG_ADD-segment inclusive (a, b) scan via ADDITIVE doublings.
 
     w = log-decay (dt*A, clamped), b = input. Instead of scanning the
@@ -65,10 +65,22 @@ def _seg_scan_add(w, b, reverse: bool):
       S = segwise-cumsum(w);  P = exp(S)        (within-seg decay products)
       hseg = P * segwise-cumsum(b * exp(-S))    (within-seg scan output)
     Returns (P, hseg) — same contract as _seg_scan on SEG_ADD segments.
+
+    If ``Tseg`` (a block-diagonal segment-triangular (L, L) matrix) is
+    given, the two cumsums run as full-precision MXU dots instead of VPU
+    roll/add doublings — the MXU is otherwise idle during the scan, so
+    Mosaic can overlap them with the surrounding VPU passes
+    (BEM_SCAN_MXU_CUMSUM experiment).
     """
     col = jax.lax.broadcasted_iota(jnp.int32, (1, w.shape[1]), 1) % SEG_ADD
 
     def cumsum_seg(x):
+        if Tseg is not None:
+            # segment sums need FULL f32 dot precision (log-decay sums reach
+            # SEG_ADD*W_CLAMP = -80; single-pass bf16 truncation would feed
+            # ~1e-2 relative error into exp)
+            return jnp.dot(x, Tseg, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
         s = 1
         y = x
         while s < SEG_ADD:
@@ -112,12 +124,12 @@ def _small_scan(a, b, reverse: bool):
     return a, b
 
 
-def _block_scan_add(w, b, E, Fb, reverse: bool):
+def _block_scan_add(w, b, E, Fb, reverse: bool, Tseg=None):
     """Two-level inclusive scan over LBLK lanes with the ADDITIVE level-1
     (_seg_scan_add, SEG_ADD segments); level 2 keeps the (a, b) monoid
     doubling on the small (C', nseg) aggregates."""
     nseg = w.shape[1] // SEG_ADD
-    a1, b1 = _seg_scan_add(w, b, reverse)
+    a1, b1 = _seg_scan_add(w, b, reverse, Tseg)
     a_seg = jnp.dot(a1, E, preferred_element_type=jnp.float32)  # (C', nseg)
     b_seg = jnp.dot(b1, E, preferred_element_type=jnp.float32)
     a_sc, b_sc = _small_scan(a_seg, b_seg, reverse)

@@ -52,13 +52,15 @@ PAIRS = {"row": (0, 2), "col": (1, 3)}
 
 
 def _dir_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
-              use_d: bool = True):
-    if merge:
-        (x_ref, wx, wdt, bias, A, D, ebn, ecn, E, Fb, eend, yin_ref,
-         y_ref, h_ref) = refs
-    else:
-        (x_ref, wx, wdt, bias, A, D, ebn, ecn, E, Fb, eend,
-         y_ref, h_ref) = refs
+              use_d: bool = True, mxu_cumsum: bool = False):
+    refs = list(refs)
+    (x_ref, wx, wdt, bias, A, D, ebn, ecn, E, Fb, eend) = refs[:11]
+    i = 11
+    tseg = refs[i] if mxu_cumsum else None
+    i += int(mxu_cumsum)
+    yin_ref = refs[i] if merge else None
+    i += int(merge)
+    y_ref, h_ref = refs[i], refs[i + 1]
 
     li = pl.program_id(1)
 
@@ -79,7 +81,9 @@ def _dir_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
         C_bc = jnp.dot(ecn[n], rows_C, preferred_element_type=jnp.float32)
         w = jnp.maximum(dt * A[0, :, n : n + 1], W_CLAMP)
         b = du * B_bc
-        a_pref, b_pref = _block_scan_add(w, b, E[...], Fb[...], rev)
+        a_pref, b_pref = _block_scan_add(
+            w, b, E[...], Fb[...], rev,
+            tseg[...] if tseg is not None else None)
         h = a_pref * h_ref[:, n : n + 1] + b_pref
         a_end = jnp.dot(a_pref, eend[...], preferred_element_type=jnp.float32)
         b_end = jnp.dot(b_pref, eend[...], preferred_element_type=jnp.float32)
@@ -135,14 +139,27 @@ def _run_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N: int, d: int,
         const(ebn), const(ecn), const(E), const(Fb), const(eend),
     ]
     operands = [x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, E, Fb, eend]
+    import os
+
+    mxu_cumsum = os.environ.get("BEM_SCAN_MXU_CUMSUM", "0") == "1"
+    if mxu_cumsum:
+        # block-diagonal segment-triangular matrix: T[i, j] = 1 within a
+        # SEG_ADD segment for i <= j (fwd) / i >= j (rev) — inclusive
+        # segment cumsum as one MXU dot (see _seg_scan_add)
+        seg_eq = (i[:, None] // SEG_ADD) == (i[None, :] // SEG_ADD)
+        tri = (i[:, None] >= i[None, :]) if rev else (i[:, None] <= i[None, :])
+        Tseg = jnp.asarray((seg_eq & tri).astype(np.float32))
+        in_specs.append(const(Tseg))
+        operands.append(Tseg)
     if yin is not None:
         in_specs.append(x_spec)  # same block order as the output
         operands.append(yin)
 
     kernel = functools.partial(
-        lambda *refs, GR, GN, N, rev, merge, use_d: _dir_body(
-            refs, GR, GN, N, rev, merge, use_d),
+        lambda *refs, GR, GN, N, rev, merge, use_d, mxu_cumsum: _dir_body(
+            refs, GR, GN, N, rev, merge, use_d, mxu_cumsum),
         GR=GR, GN=GN, N=N, rev=rev, merge=yin is not None, use_d=use_d,
+        mxu_cumsum=mxu_cumsum,
     )
     with mm_precision(x.dtype):
         return pl.pallas_call(
