@@ -1,0 +1,81 @@
+"""Cross-lowering gate: the serving Pallas kernels must lower for the TPU
+platform (Mosaic MLIR) on a CPU host.
+
+Interpret-mode golden tests cannot see Mosaic lowering errors (unsupported
+primitives, layout constraints); jax's cross-platform lowering can, without
+a chip. Compile-time checks (VMEM budgets) still need real hardware.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture()
+def tpu_trace(monkeypatch):
+    """Make kernels take their TPU code path at trace time."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    return None
+
+
+def _lower(f, *args):
+    txt = jax.jit(f).trace(*args).lower(
+        lowering_platforms=("tpu",)).as_text()
+    assert "tpu_custom_call" in txt or "custom_call" in txt
+    return txt
+
+
+@pytest.mark.parametrize("mxu_cumsum", ["0", "1"])
+def test_seq_pair_lowering(tpu_trace, monkeypatch, mxu_cumsum):
+    monkeypatch.setenv("BEM_SCAN_MXU_CUMSUM", mxu_cumsum)
+    from bem_tpu.ops.ss2d_seq import ss2d_seq_pair_g
+
+    B, C, L, G, N, R = 8, 40, 32 * 32, 8, 1, 3
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((B // G, G * C, L)), jnp.bfloat16)
+    Wx = jnp.asarray(rng.random((4, R + 2 * N, C)), jnp.float32)
+    Wdt = jnp.asarray(rng.random((4, C, R)), jnp.float32)
+    bias = jnp.asarray(rng.random((4, C)), jnp.float32)
+    A = -jnp.asarray(rng.random((4, C, N)), jnp.float32)
+    D = jnp.asarray(rng.random((4, C)), jnp.float32)
+    _lower(lambda *a: ss2d_seq_pair_g(*a, G, "row"), x, Wx, Wdt, bias, A, D)
+
+
+def test_tail_lowering(tpu_trace):
+    from bem_tpu.ops.ss2d_tail import ss2d_tail_cf
+
+    Bg, G, C, L = 1, 8, 40, 32 * 32
+    rng = np.random.default_rng(1)
+    y1 = jnp.asarray(rng.random((Bg, G * C, L)), jnp.bfloat16)
+    y2 = jnp.asarray(rng.random((Bg, G * C, L)), jnp.bfloat16)
+    sc = jnp.asarray(rng.random((C,)), jnp.float32)
+    bi = jnp.asarray(rng.random((C,)), jnp.float32)
+    W = jnp.asarray(rng.random((C, C)), jnp.float32)
+    res = jnp.asarray(rng.random((Bg, G * C, L)), jnp.bfloat16)
+    _lower(lambda *a: ss2d_tail_cf(*a, G, res), y1, y2, sc, bi, W, None)
+
+
+def test_gdmlp_and_stem_lowering(tpu_trace):
+    from bem_tpu.ops.gdmlp_fused import gdmlp_fused_cf, stem_fused_cf
+
+    B, C, H, W = 2, 40, 32, 32
+    h2 = 2 * C * 2
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((B, C, H * W)), jnp.bfloat16)
+    W1 = jnp.asarray(rng.random((h2, C)), jnp.float32)
+    b1 = jnp.asarray(rng.random((h2,)), jnp.float32)
+    dw = jnp.asarray(rng.random((h2, 9)), jnp.float32)
+    W2 = jnp.asarray(rng.random((C, h2 // 2)), jnp.float32)
+    b2 = jnp.asarray(rng.random((C,)), jnp.float32)
+    lns = jnp.asarray(rng.random((C,)), jnp.float32)
+    lnb = jnp.asarray(rng.random((C,)), jnp.float32)
+    _lower(lambda *a: gdmlp_fused_cf(*a, H, W, lns, lnb, True),
+           x, W1, b1, dw, None, W2, b2)
+
+    k_in = jnp.asarray(rng.random((C, C)), jnp.float32)
+    bin_ = jnp.asarray(rng.random((C,)), jnp.float32)
+    taps = jnp.asarray(rng.random((C, 9)), jnp.float32)
+    _lower(lambda *a: stem_fused_cf(*a, H, W, lns, lnb),
+           x, k_in, bin_, taps, None)
