@@ -39,9 +39,9 @@ run eval_clip 3000 env BEM_CLIP_NPZ=/tmp/clip_iqa_seeded.npz python -m bem_tpu.e
   --no_ref clip --result_dir /tmp/eval_out_clip
 # 6. full-HD speed_test, both modes (VERDICT #6)
 run speed_seq 3500 python -m bem_tpu.enhancement.speed_test \
-  --opt Options/IE_UNet_LOLv1.yml --cond_opt Options/CG_UNet_LOLv1.yml \
+  --opt Options/CG_UNet_LOLv1.yml --cond_opt Options/IE_UNet_LOLv1.yml \
   --input_size 2048 --repeat 20
 run speed_batched 3500 python -m bem_tpu.enhancement.speed_test \
-  --opt Options/IE_UNet_LOLv1.yml --cond_opt Options/CG_UNet_LOLv1.yml \
+  --opt Options/CG_UNet_LOLv1.yml --cond_opt Options/IE_UNet_LOLv1.yml \
   --input_size 2048 --repeat 20 --speedup
 echo "QUEUE DONE $(date)" | tee -a $OUT/queue.log
