@@ -221,10 +221,17 @@ class SS2D(nn.Module):
         fused_cf = fused_core and cf
         z = None
 
-        ln_in_kernel = ln is not None and fused_cf and self.d_conv == 3
+        # the row-blocked stem kernel can only lower when the lane count is
+        # 128-divisible or the whole image fits one block (Mosaic rule);
+        # tiny CG-stage images (e.g. 28x40 at /16 resolution) fall back to
+        # the unfused conv stem below
+        from ..ops.gdmlp_fused import fused_rows_ok
+
+        stem_fused_ok = fused_cf and self.d_conv == 3 and fused_rows_ok(H, W)
+        ln_in_kernel = ln is not None and stem_fused_ok
         if ln is not None and not ln_in_kernel:
             x = _plain_ln(x, ln, 1 if (cf or flat) else -1)
-        if fused_cf and self.d_conv == 3:
+        if stem_fused_ok:
             from ..ops.gdmlp_fused import stem_fused_cf
             from .layers import Conv2dParams as _ConvP, DenseParams as _DenseP
 

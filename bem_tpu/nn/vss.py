@@ -45,7 +45,7 @@ class GDMlp(nn.Module):
             # HBM. Parameter tree identical to the unfused Conv2d stack.
             # Accepts the flat (B, C, H*W) stream with hw=(H, W) and then
             # returns it flat (see SS2D.__call__ on why flat CF matters).
-            from ..ops.gdmlp_fused import gdmlp_fused_cf
+            from ..ops.gdmlp_fused import fused_rows_ok, gdmlp_fused_cf
             from .layers import Conv2dParams
 
             bayes = dict(bayesian=self.bayesian, sigma_init=self.sigma_init)
@@ -55,6 +55,29 @@ class GDMlp(nn.Module):
                 H, W = hw
             else:
                 B, C, H, W = x.shape
+            if not fused_rows_ok(H, W):
+                # Mosaic can't lower the row-blocked kernel at this size
+                # (lane count neither 128-divisible nor full-array): run the
+                # unfused CF conv stack — identical params and semantics,
+                # with the optional pre-LN and residual applied here
+                from .ss2d import _plain_ln
+
+                x4 = x.reshape(B, C, H, W)
+                x_res = x4
+                if ln is not None:
+                    x4 = _plain_ln(x4, ln, 1)
+                cbayes = dict(bayes, data_format="NCHW")
+                y = Conv2d(2 * h, kernel_size=1, padding=0,
+                           name="project_in", **cbayes)(x4)
+                y = Conv2d(2 * h, kernel_size=3, padding=1, groups=2 * h,
+                           name="dwconv", **cbayes)(y)
+                y1, y2 = jnp.split(y, 2, axis=1)
+                y = _gelu_exact(y1) * y2
+                y = Conv2d(self.out_features, kernel_size=1, padding=0,
+                           name="project_out", **cbayes)(y)
+                if residual:
+                    y = y + x_res
+                return y.reshape(B, -1, H * W) if flat else y
             k_in, b_in = Conv2dParams(C, 2 * h, kernel_size=1,
                                       name="project_in", **bayes)()
             k_dw, b_dw = Conv2dParams(2 * h, 2 * h, kernel_size=3,

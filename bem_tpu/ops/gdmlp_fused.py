@@ -75,18 +75,30 @@ def _win_ln(x32, lns, lnb, dot_mode: str):
     return y
 
 
-def _pick_rows(H: int, W: int, budget: int = 8192) -> int:
-    """Rows per block: largest divisor of H with k <= 8 and k*W <= budget.
+def _pick_rows(H: int, W: int, budget: int = 8192):
+    """Rows per block: largest divisor of H with k <= 8, k*W <= budget AND
+    a Mosaic-lowerable lane count (k*W divisible by 128 — the TPU lowering
+    rejects other partial blocks). Small images (H*W <= budget) fall back
+    to ONE block covering the whole image, which is always legal
+    ("equal to the overall array dims"). Returns None when neither holds —
+    callers must then take their unfused path.
 
     Swept on v5e at serving shapes: k=8 beats k=4 by 15% at C=40 448x640
     (32.2 vs 37.7 ms) and k=8 beats k=16 at C=80 224x320 (28.8 vs 31.2) —
     8 rows fill the sublane tile granularity; more rows add VMEM pressure
     without adding parallelism."""
-    best = 1
+    best = None
     for k in range(1, min(H, 8) + 1):
-        if H % k == 0 and k * W <= budget:
+        if H % k == 0 and k * W <= budget and (k * W) % 128 == 0:
             best = k
+    if best is None and H * W <= budget:
+        return H
     return best
+
+
+def fused_rows_ok(H: int, W: int) -> bool:
+    """Whether the fused CF gdMlp/stem kernels can lower at this size."""
+    return _pick_rows(H, W) is not None
 
 
 def _body(*refs, h: int, W: int, k: int, H: int, nblk: int, has_b1: bool,
@@ -237,6 +249,9 @@ def gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H: int, Wd: int,
         assert Cout == C, (Cout, C)
 
     k = _pick_rows(H, Wd)
+    assert k is not None, (
+        f"no Mosaic-lowerable row blocking for H={H}, W={Wd}; callers must "
+        "check fused_rows_ok() and take the unfused path")
     nblk = H // k
 
     lrow = jnp.asarray(
@@ -412,6 +427,9 @@ def stem_fused_cf(x, W1, b1, dw, bdw, H: int, Wd: int, lns=None, lnb=None):
     Dh = W1.shape[0]
 
     k = _pick_rows(H, Wd)
+    assert k is not None, (
+        f"no Mosaic-lowerable row blocking for H={H}, W={Wd}; callers must "
+        "check fused_rows_ok() and take the unfused path")
     nblk = H // k
     lrow = jnp.asarray(
         (np.arange((k + 2) * Wd) // Wd).astype(np.float32)).reshape(1, -1)

@@ -51,3 +51,33 @@ def test_network_cf_mask_path(rng):
     y_cf = net_cf.apply(v, x, mask)[-1]
     np.testing.assert_allclose(np.asarray(y_cf), np.asarray(y),
                                rtol=1e-4, atol=1e-5)
+
+def test_vssblock_cf_tiny_image_fallback(rng):
+    """CG-stage /16-resolution shapes (e.g. 28x40) cannot lower the
+    row-blocked fused kernels on TPU (lane count not 128-divisible); the
+    pallas backend must fall back and still match NHWC. Regression for the
+    round-3 bench-pipeline lowering failure."""
+    from bem_tpu.ops.gdmlp_fused import _pick_rows, fused_rows_ok
+
+    # 28x40 -> whole-image single block (1120 lanes <= budget)
+    assert _pick_rows(28, 40) == 28
+    # too big for one block, no 128-divisible k -> unfused fallback
+    assert not fused_rows_ok(400, 600)
+    # serving shapes keep the swept k=8 blocking
+    assert _pick_rows(448, 640) == 8
+
+    # 12x20: single-block kernel path; 8x1100: H*W > budget with no
+    # 128-divisible k -> the unfused CF fallback executes
+    for H, W in ((12, 20), (8, 1100)):
+        x = jnp.asarray(
+            rng.standard_normal((1, H, W, 16)).astype(np.float32))
+        blk = VSSBlock(hidden_dim=16, mlp_ratio=2, scan_backend="xla")
+        v = jax.jit(blk.init)(jax.random.PRNGKey(0), x)
+        y = blk.apply(v, x)
+        blk_cf = VSSBlock(hidden_dim=16, mlp_ratio=2, scan_backend="pallas",
+                          layout="NCHW")
+        y_cf = blk_cf.apply(v, jnp.transpose(x, (0, 3, 1, 2)))
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(y_cf, (0, 2, 3, 1))), np.asarray(y),
+            rtol=1e-4, atol=1e-4,
+        )

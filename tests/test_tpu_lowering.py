@@ -79,3 +79,23 @@ def test_gdmlp_and_stem_lowering(tpu_trace):
     taps = jnp.asarray(rng.random((C, 9)), jnp.float32)
     _lower(lambda *a: stem_fused_cf(*a, H, W, lns, lnb),
            x, k_in, bin_, taps, None)
+
+
+def test_cg_shaped_network_lowering(tpu_trace):
+    """The /16-resolution CG stage (tiny spatial dims, e.g. 28x40) must
+    lower for TPU — regression for the round-3 bench failure where the
+    row-blocked stem/gdMlp kernels produced non-128-divisible lane blocks."""
+    from bem_tpu.archs import build_network
+
+    net = build_network(dict(
+        type="Network", in_channels=3, out_channels=3, n_feat=40, stage=1,
+        num_blocks=(2, 2, 2), d_state=(1, 1, 1), ssm_ratio=1, mlp_ratio=4,
+        mlp_type="gdmlp", use_pixelshuffle=True, bayesian=True))
+    x = jnp.zeros((2, 28, 40, 3), jnp.bfloat16)
+    v = jax.eval_shape(net.init, jax.random.PRNGKey(0), x)
+    v = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), v)
+    txt = jax.jit(
+        lambda v, x, k: net.apply(v, x, rngs={"bayes": k})[-1]
+    ).trace(v, x, jax.random.PRNGKey(1)).lower(
+        lowering_platforms=("tpu",)).as_text()
+    assert "custom_call" in txt
