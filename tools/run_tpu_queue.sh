@@ -30,6 +30,8 @@ ts = []
 for i in range(12):
     t0 = time.perf_counter(); float(fn(jax.random.fold_in(key, i), img, cond)); ts.append(time.perf_counter() - t0)
 med = float(np.median(ts)); print('NIMG=3', round(3/med, 3), 'img/s iter_ms', round(1e3*med, 1))"
+# 3b. attribution control: CF block interior off (round-2 path)
+run bench_cf_off 3000 env BEM_BLOCK_CF=0 python bench.py
 # 4. train-iter vs reference 0.31 s
 run train_iter 3000 python tools/train_iter_bench.py --arch DecompDualBranch2
 # 5. eval CLI with seeded CLIP bundle (driver config #4 path)
