@@ -23,9 +23,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.scan import linear_scan
 
 
-def _local_combine(a, b, axis_name):
+def _local_combine(a, b, axis_name, backend):
     """Per-device scan + cross-device carry correction."""
-    h_local = linear_scan(a, b)  # zero-initialized local scan
+    h_local = linear_scan(a, b, backend=backend)  # zero-initialized local scan
     # cumulative products of a within the chunk (carry propagation factors)
     prefix = jax.lax.associative_scan(jnp.multiply, a, axis=-2)
     a_prod = prefix[..., -1:, :]  # (..., 1, D)
@@ -51,17 +51,29 @@ def context_parallel_linear_scan(
     b: jax.Array,
     mesh: Mesh,
     axis: str = "seq",
+    backend: Optional[str] = None,
 ) -> jax.Array:
     """Inclusive scan of ``h_t = a_t h_{t-1} + b_t`` with axis -2 sharded.
 
     a, b: (..., L, D) arrays (host-global); L is sharded over ``axis``.
+    ``backend`` pins the per-device scan backend (default: the global one).
     """
+    from ..ops.scan import default_backend
+
+    if backend is None:
+        # resolve the global default OUTSIDE the shard_map trace so the
+        # choice is explicit in the jaxpr
+        backend = default_backend()
     ndim = a.ndim
     spec = P(*([None] * (ndim - 2) + [axis, None]))
+    # check_vma=False: the pallas_call inside linear_scan does not carry
+    # varying-manual-axes metadata, and the combine is manually correct
+    # (carries are exchanged via explicit all_gathers)
     fn = jax.shard_map(
-        partial(_local_combine, axis_name=axis),
+        partial(_local_combine, axis_name=axis, backend=backend),
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=spec,
+        check_vma=False,
     )
     return fn(a, b)
