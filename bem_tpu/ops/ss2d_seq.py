@@ -236,7 +236,12 @@ def ss2d_seq_pair_g(xseq_g, Wx, Wdt, bias, A, D, G: int, pair: str):
     Wx_g, Wdt_g, bias_g, A_g, D_g = _expand_weights(Wx, Wdt, bias, A, D2, G)
     ebn = _expand_onehots(G, C, N)
 
-    lblk = min(LBLK, -(-L // 128) * 128)
+    import os
+
+    # sweep hook: sequence lanes per kernel block (queued TPU experiment —
+    # the round-2 LBLK sweep was cut short by a degraded compile service)
+    lblk_cap = int(os.environ.get("BEM_SCAN_LBLK", LBLK))
+    lblk = min(lblk_cap, -(-L // 128) * 128)
     Lp = -(-L // lblk) * lblk
     x = xseq_g
     if Lp != L:

@@ -21,6 +21,7 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
@@ -31,6 +32,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--patch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--trace", default="",
+                    help="profile dir: capture one steady-state train step "
+                         "under jax.profiler and print device-op buckets "
+                         "(tools/trace_buckets.py parser)")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +98,29 @@ def main():
         float(logs["l_pix"])
         ts.append(time.perf_counter() - t0)
     med = float(np.median(ts))
+
+    if args.trace:
+        os.system(f"rm -rf {args.trace}")
+        jax.profiler.start_trace(args.trace)
+        logs = model.train_step(batch)
+        float(logs["l_pix"])
+        jax.profiler.stop_trace()
+        from collections import defaultdict
+
+        from trace_buckets import classify, parse_trace
+
+        per_op = parse_trace(args.trace)
+        total = sum(per_op.values())
+        buckets = defaultdict(float)
+        for name, ms in per_op.items():
+            buckets[classify(name)] += ms
+        print(f"== train-step buckets (device total {total:.1f} ms) ==")
+        for label, ms in sorted(buckets.items(), key=lambda kv: -kv[1]):
+            print(f"{label:28s} {ms:8.1f} ms  {100*ms/total:5.1f}%")
+        print("== top 25 ops ==")
+        for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:25]:
+            print(f"{ms:9.2f} ms  {name[:110]}")
+
     print(json.dumps({
         "arch": args.arch, "batch": B, "patch": P,
         "s_per_iter_median": round(med, 4),
