@@ -202,6 +202,11 @@ def main():
         "value": round(ips, 4),
         "unit": "images/sec",
         "vs_baseline": round(ips / BASELINE_PIPELINES_PER_SEC, 3),
+        # the denominator is a DERIVED ESTIMATE (no published reference
+        # throughput exists; see module docstring for the derivation from
+        # the reference's one measured 0.31 s/train-iter log line)
+        "baseline_is_estimate": True,
+        "baseline_pipelines_per_sec_est": BASELINE_PIPELINES_PER_SEC,
         "iters": len(times),
         "iter_ms_median": round(1e3 * med, 1),
         "iter_ms_min": round(1e3 * float(arr.min()), 1),
