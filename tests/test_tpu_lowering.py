@@ -24,6 +24,11 @@ def tpu_trace(monkeypatch):
     from bem_tpu.ops import scan as scan_mod
 
     prev = scan_mod._DEFAULT_BACKEND
+    # clear the cache so it re-resolves to "pallas" under the patched
+    # platform (earlier CPU tests may have cached "xla", which would send
+    # dispatch-gated paths — e.g. the CF block interior — down the
+    # non-pallas branch and void the lowering assertions)
+    scan_mod._DEFAULT_BACKEND = None
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     yield
     scan_mod._DEFAULT_BACKEND = prev
