@@ -34,6 +34,10 @@ def main(args_list=None):
     p.add_argument("--repeat", default=100, type=int)
     p.add_argument("--speedup", action="store_true")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--spatial_shard", default=0, type=int,
+                   help="shard image rows over N mesh devices (sequence "
+                        "parallelism via GSPMD; forces scan_backend=xla — "
+                        "parallel/spatial.py). 0 = single device.")
     args = p.parse_args(args_list)
 
     opt = parse(args.opt, is_train=False)
@@ -42,8 +46,14 @@ def main(args_list=None):
 
     net_opt = dict(opt["network_g"])
     net_opt["bayesian"] = True
+    cond_net_opt = dict(cond_opt["network_g"])
+    if args.spatial_shard:
+        # Pallas custom calls are opaque to the SPMD partitioner; the pure
+        # XLA scan partitions over the sharded rows (parallel/spatial.py)
+        net_opt["scan_backend"] = "xla"
+        cond_net_opt["scan_backend"] = "xla"
     net = build_network(net_opt)
-    cond_net = build_network(dict(cond_opt["network_g"]))
+    cond_net = build_network(cond_net_opt)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     S = args.input_size
@@ -58,6 +68,21 @@ def main(args_list=None):
         else jax.jit(cond_net.init)(
             jax.random.PRNGKey(1), jnp.concatenate([x, x], -1))["params"]
     )
+
+    if args.spatial_shard:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_mesh
+        from ..parallel.spatial import spatial_sharding
+
+        mesh = make_mesh(args.spatial_shard, axis_names=("space",))
+        sh = spatial_sharding(mesh)
+        rep = NamedSharding(mesh, P())
+        x = jax.device_put(x, sh)
+        x_down = jax.device_put(x_down, sh)
+        params = jax.tree.map(lambda a: jax.device_put(a, rep), params)
+        cond_params = jax.tree.map(
+            lambda a: jax.device_put(a, rep), cond_params)
 
     if args.speedup:
         @jax.jit

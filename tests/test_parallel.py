@@ -81,6 +81,27 @@ def test_data_parallel_train_step_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), rtol=2e-5, atol=2e-6)
 
 
+def test_spatial_sharded_inference_matches_single_device(rng):
+    """Sequence-parallel (image rows over the mesh) full-model inference:
+    GSPMD partitions the U-Net's convs (halo exchange), norms, merges and
+    the xla-backend scan automatically. 8-way row-sharded == unsharded."""
+    from bem_tpu.archs import build_network
+    from bem_tpu.parallel.spatial import spatial_apply
+
+    net = build_network(dict(
+        type="Network", in_channels=3, out_channels=3, n_feat=8, stage=1,
+        num_blocks=(1, 1), d_state=(1, 1), ssm_ratio=1, mlp_ratio=2,
+        use_pixelshuffle=True, scan_backend="xla"))
+    H, W = 64, 48  # 8 rows/device, /2 per level stays clean
+    x = jnp.asarray(rng.random((1, H, W, 3)).astype(np.float32))
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    want = np.asarray(jax.jit(lambda v, t: net.apply(v, t)[-1])(v, x))
+
+    mesh = make_mesh(8, axis_names=("space",))
+    got = np.asarray(spatial_apply(net, v, x, mesh))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_sharded_k_sample_eval_matches_single_device(rng):
     """Eval K-sample sharding (VERDICT r2 #5): K=16 Bayesian candidates
     sharded over an 8-device 'bayes' mesh == unsharded, including the
