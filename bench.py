@@ -146,8 +146,42 @@ def build_pipeline(nimg: int = 2):
     return fn, (key, img, cond_in)
 
 
+def _tpu_reachable(timeout_s: float = 300.0) -> bool:
+    """Probe the TPU backend in a KILLABLE subprocess.
+
+    Under the axon transport, the first jax import dials the TPU pool and
+    hangs indefinitely when the tunnel is down (BENCH_r03 was rc=1 with a
+    backend-init traceback; the multichip gate hung outright). Probing in a
+    child bounds the damage and lets us emit a structured record instead.
+    """
+    import os
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            timeout=timeout_s, env=dict(os.environ),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     NIMG = 2
+    if not _tpu_reachable():
+        # honest weather record: the metric needs the chip; a dead tunnel
+        # must not leave a bare traceback as the round's only artifact
+        print(json.dumps({
+            "metric": "LOLv1 600x400 images/sec/chip @ K=16 two-stage Bayesian",
+            "value": None,
+            "unit": "images/sec",
+            "error": "TPU backend unreachable (transport tunnel down); "
+                     "bench requires the real chip",
+        }))
+        return
     fn, (key, img, cond_in) = build_pipeline(NIMG)
     import jax
 
