@@ -111,6 +111,9 @@ def main():
 
         per_op = parse_trace(args.trace)
         total = sum(per_op.values())
+        if not total:
+            print("== train-step trace: no device plane (not on TPU?) ==")
+            per_op = {}
         buckets = defaultdict(float)
         for name, ms in per_op.items():
             buckets[classify(name)] += ms
