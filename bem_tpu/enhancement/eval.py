@@ -97,9 +97,20 @@ def _build_net(opt_path, weights, bayesian):
         network_opt["bayesian"] = True
         network_opt.setdefault("sigma_init", opt.get("sigma_init", 0.05))
     net = build_network(network_opt)
-    params = None
     if weights:
         params = load_params(weights, "params")
+    else:
+        # No checkpoint given: fall back to seeded-init params so smoke runs
+        # work end-to-end (the reference CLI hard-requires --weights; a None
+        # params dict would crash deep inside flax.apply with an opaque
+        # ApplyScopeInvalidVariablesTypeError).
+        print(f"[eval] WARNING: no weights for {opt_path}; using seeded "
+              "random init — outputs are NOT meaningful enhancement")
+        in_ch = int(network_opt.get("in_channels", 3))
+        seed = int(opt.get("manual_seed", 0) or 0)
+        variables = jax.jit(net.init)(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, in_ch)))
+        params = variables["params"]
     return opt, net, params
 
 

@@ -145,7 +145,8 @@ def _reference_unfolded(u, delta, A, B, C, D, delta_bias, delta_softplus):
     M, Cdim, L, N = a.shape
     a2 = jnp.moveaxis(a, 2, 1).reshape(M, L, Cdim * N)
     b2 = jnp.moveaxis(b, 2, 1).reshape(M, L, Cdim * N)
-    h = linear_scan(a2, b2, backend="xla").reshape(M, L, Cdim, N)
+    # auto backend (pallas on TPU) — see PLAN.md r4 s2 train-trace buckets
+    h = linear_scan(a2, b2).reshape(M, L, Cdim, N)
     Cs = jnp.swapaxes(C.astype(jnp.float32), 1, 2)  # (M, L, N)
     y = jnp.sum(h * Cs[:, :, None, :], axis=-1)  # (M, L, C)
     y = jnp.swapaxes(y, 1, 2)

@@ -320,7 +320,9 @@ def ss2d_dir_ref(xs2, Wx, Wdt, bias, A, D):
             )[:, None, :, :]  # (B, C, L, N)
             a2 = jnp.moveaxis(a, 2, 1).reshape(B, L, C * N)
             b2 = jnp.moveaxis(b, 2, 1).reshape(B, L, C * N)
-            h = linear_scan(a2, b2, backend="xla").reshape(B, L, C, N)
+            # auto backend (pallas on TPU): backward-recompute scans through
+            # xla associative_scan dominate the train step (PLAN.md r4 s2)
+            h = linear_scan(a2, b2).reshape(B, L, C, N)
             Cs = jnp.moveaxis(xdbl[:, R + N :], 1, 2)  # (B, L, N)
             y = jnp.einsum("blcn,bln->bcl", h, Cs)
             y = y + D[k].astype(jnp.float32)[None, :, None] * x

@@ -204,7 +204,10 @@ def _seq_pair_ref(xseq, Wx, Wdt, bias, A, D, d_f: int, d_r: int):
             xdbl[:, R : R + N], 1, 2)[:, None, :, :]
         a2 = jnp.moveaxis(a, 2, 1).reshape(B, L, C * N)
         b2 = jnp.moveaxis(b, 2, 1).reshape(B, L, C * N)
-        h = linear_scan(a2, b2, backend="xla").reshape(B, L, C, N)
+        # backend=None -> auto (pallas on TPU): this composition is the
+        # TRAIN-path backward recompute; the xla associative_scan here cost
+        # 1.1 s/train-iter in stride-2 slice/pad ops (measured, PLAN.md r4 s2)
+        h = linear_scan(a2, b2).reshape(B, L, C, N)
         Cs = jnp.moveaxis(xdbl[:, R + N :], 1, 2)
         y = jnp.einsum("blcn,bln->bcl", h, Cs)
         y = y + D[k].astype(jnp.float32)[None, :, None] * x

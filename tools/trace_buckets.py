@@ -17,14 +17,17 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Patterns match the classify() key: "%<name>.<n> <opcode>" (defining op
+# name + opcode only, operands stripped). Pallas kernels keep their traced
+# scope name (mlp.* = fused gdMlp; op.* = the ss2d stem/scan/tail family).
 BUCKETS = [
-    ("scan", re.compile(r"dir_body|_fwd_body|ss2d_seq|scan")),
-    ("gdmlp", re.compile(r"gdmlp|_body")),
-    ("stem", re.compile(r"stem")),
-    ("tail", re.compile(r"tail")),
-    ("dwconv/conv", re.compile(r"conv")),
-    ("transpose/copy", re.compile(r"transpose|copy")),
+    ("pallas gdmlp", re.compile(r"%(gd)?mlp[.\d]* custom-call")),
+    ("pallas scan/stem/tail", re.compile(
+        r"%(op|dir_body|stem|tail|ss2d|scan)[.\d_]* custom-call")),
+    ("conv", re.compile(r"conv")),
+    ("transpose/copy", re.compile(r"transpose|copy|reshape|pad|slice")),
     ("dot/matmul", re.compile(r"dot|einsum")),
+    ("convert", re.compile(r"convert")),
     ("fusion (elementwise)", re.compile(r"fusion")),
     ("dynamic/gather/scatter", re.compile(r"dynamic|gather|scatter")),
     ("reduce", re.compile(r"reduce")),
@@ -32,8 +35,17 @@ BUCKETS = [
 
 
 def classify(name: str) -> str:
+    # Classify on the defining op name + opcode ONLY ("%mlp.31 = ... custom-call")
+    # — the full HLO text lists operands (e.g. "%copy-done.399") whose names
+    # would otherwise misfile compute ops into the copy bucket.
+    head = name.split(" = ", 1)
+    key = head[0]
+    if len(head) > 1:
+        m = re.search(r"\}\s*([a-z0-9-]+)\(", head[1])
+        if m:
+            key += " " + m.group(1)
     for label, pat in BUCKETS:
-        if pat.search(name):
+        if pat.search(key):
             return label
     return "other"
 
@@ -55,7 +67,13 @@ def parse_trace(logdir: str):
             continue
         emeta = {m.id: m.name for m in plane.event_metadata.values()}
         for line in plane.lines:
-            # XLA Ops line carries per-op device durations
+            # ONLY the "XLA Ops" line carries exclusive per-op device
+            # durations; the other device-plane lines (async copies, steps,
+            # modules) overlap compute and would multiply-count the
+            # iteration (async weight-prefetch copy-starts each report the
+            # full wait span — summing them drowned the real ops 4:1)
+            if line.name != "XLA Ops":
+                continue
             for ev in line.events:
                 name = emeta.get(ev.metadata_id, "?")
                 per_op[name] += ev.duration_ps / 1e9  # -> ms
