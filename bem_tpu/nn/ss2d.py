@@ -324,8 +324,13 @@ class SS2D(nn.Module):
             # grouping folds the batch into sublanes; on the (C, L)-tiled
             # flat stream these reshapes are free bitcasts
             row = xf.reshape(Bg, G * d_inner, L)
+            # group-preserving column transpose: the L index is independent
+            # of the (B, G·C) sublane packing, so transposing H/W inside the
+            # grouped layout is value-identical to ungroup->transpose->regroup
+            # but skips the (Bg, G·C) <-> (B, C) sublane+lane retile (the
+            # ungrouped form cost 12.8 ms/copy at L0 serving shapes — traced)
             col = jnp.transpose(
-                xf.reshape(B_, d_inner, H, W), (0, 1, 3, 2)
+                row.reshape(Bg, G * d_inner, H, W), (0, 1, 3, 2)
             ).reshape(Bg, G * d_inner, L)
             A4 = A.reshape(K, d_inner, N)
             D4 = Ds.reshape(K, d_inner)
@@ -334,7 +339,7 @@ class SS2D(nn.Module):
             y_col = ss2d_seq_pair_g(col, x_proj_weight, dt_projs_weight,
                                     dt_projs_bias, A4, D4, G, "col")
             y_colT = jnp.transpose(
-                y_col.reshape(B_, d_inner, W, H), (0, 1, 3, 2)
+                y_col.reshape(Bg, G * d_inner, W, H), (0, 1, 3, 2)
             ).reshape(Bg, G * d_inner, L)
             on_scale, on_bias = LayerNormParams(d_inner, name="out_norm")()
             wout, bout = DenseParams(

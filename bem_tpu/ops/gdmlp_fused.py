@@ -101,6 +101,31 @@ def fused_rows_ok(H: int, W: int) -> bool:
     return _pick_rows(H, W) is not None
 
 
+def _dw3x3_taps(hid, dw, maskl, maskr, k: int, W: int):
+    """Depthwise 3x3 over a (2h, (k+2)*W) hidden row-window.
+
+    Nine static lane-slices of a 128-zero-padded window, grouped by dx for
+    the edge masks. MEASURED dead end (round 4): hoisting the dx = ±1 taps
+    into two pltpu.roll's of the whole window is 35% SLOWER (L0 serving
+    29 -> 39 ms/call) — Mosaic lowers static circular rolls far worse than
+    misaligned slices, so the padded-slice form stands."""
+    z128 = jnp.zeros((hid.shape[0], 128), jnp.float32)
+    hid = jnp.concatenate([z128, hid, z128], axis=1)
+    conv = jnp.zeros((hid.shape[0], k * W), jnp.float32)
+    for dx in (-1, 0, 1):
+        acc = jnp.zeros_like(conv)
+        for dy in (-1, 0, 1):
+            tap = dw[:, 3 * (dy + 1) + (dx + 1)][:, None]
+            s = 128 + (1 + dy) * W + dx
+            acc = acc + tap * hid[:, s : s + k * W]
+        if dx == -1:
+            acc = acc * maskl[...]
+        elif dx == 1:
+            acc = acc * maskr[...]
+        conv = conv + acc
+    return conv
+
+
 def _body(*refs, h: int, W: int, k: int, H: int, nblk: int, has_b1: bool,
           has_bdw: bool, has_b2: bool, dot_mode: str, has_ln: bool,
           residual: bool):
@@ -142,23 +167,7 @@ def _body(*refs, h: int, W: int, k: int, H: int, nblk: int, has_b1: bool,
     if has_b1:
         hid = hid + b1[...] * rowmask
 
-    # depthwise 3x3 as 9 static lane-slices, grouped by dx for edge masks.
-    # 128 zero lanes on each side keep the corner taps' first/last (masked)
-    # elements in bounds.
-    z128 = jnp.zeros((hid.shape[0], 128), jnp.float32)
-    hid = jnp.concatenate([z128, hid, z128], axis=1)
-    conv = jnp.zeros((hid.shape[0], k * W), jnp.float32)
-    for dx in (-1, 0, 1):
-        acc = jnp.zeros_like(conv)
-        for dy in (-1, 0, 1):
-            tap = dw[:, 3 * (dy + 1) + (dx + 1)][:, None]
-            s = 128 + (1 + dy) * W + dx
-            acc = acc + tap * hid[:, s : s + k * W]
-        if dx == -1:
-            acc = acc * maskl[...]
-        elif dx == 1:
-            acc = acc * maskr[...]
-        conv = conv + acc
+    conv = _dw3x3_taps(hid, dw, maskl, maskr, k, W)
     if has_bdw:
         conv = conv + bdw[...]
 
@@ -363,20 +372,7 @@ def _stem_body(*refs, W: int, k: int, H: int, has_b1: bool, has_bdw: bool,
                       preferred_element_type=jnp.float32)
     if has_b1:
         hid = hid + b1[...] * rowmask
-    z128 = jnp.zeros((hid.shape[0], 128), jnp.float32)
-    hid = jnp.concatenate([z128, hid, z128], axis=1)
-    conv = jnp.zeros((hid.shape[0], k * W), jnp.float32)
-    for dx in (-1, 0, 1):
-        acc = jnp.zeros_like(conv)
-        for dy in (-1, 0, 1):
-            tap = dw[:, 3 * (dy + 1) + (dx + 1)][:, None]
-            s = 128 + (1 + dy) * W + dx
-            acc = acc + tap * hid[:, s : s + k * W]
-        if dx == -1:
-            acc = acc * maskl[...]
-        elif dx == 1:
-            acc = acc * maskr[...]
-        conv = conv + acc
+    conv = _dw3x3_taps(hid, dw, maskl, maskr, k, W)
     if has_bdw:
         conv = conv + bdw[...]
     out_ref[0] = (conv * jax.nn.sigmoid(conv)).astype(out_ref.dtype)
