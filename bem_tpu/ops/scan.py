@@ -106,27 +106,33 @@ _LBLK = 256  # sequence rows per block (sublane axis), power of two
 _DBLK = 128  # channels per block (lane axis)
 
 
-def _shifted(x: jax.Array, s: int, fill: float) -> jax.Array:
-    """x shifted down by s rows along axis 0; first s rows become `fill`."""
-    rolled = pltpu.roll(x, s, axis=0)
+def _shifted(x: jax.Array, s: int, fill: float, reverse: bool) -> jax.Array:
+    """x shifted by s rows along axis 0 (down, or up when reverse); the
+    vacated s rows become `fill`."""
+    n = x.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    if reverse:
+        rolled = pltpu.roll(x, (n - s) % n, axis=0)
+        return jnp.where(row >= n - s, jnp.full_like(x, fill), rolled)
+    rolled = pltpu.roll(x, s, axis=0)
     return jnp.where(row < s, jnp.full_like(x, fill), rolled)
 
 
-def _scan_block(a, b):
-    """Inclusive doubling scan of the (a, b) monoid over axis 0 of a block."""
+def _scan_block(a, b, reverse: bool):
+    """Inclusive doubling scan of the (a, b) monoid over axis 0 of a block
+    (top-down, or bottom-up when reverse)."""
     n = a.shape[0]
     s = 1
     while s < n:
-        a_sh = _shifted(a, s, 1.0)
-        b_sh = _shifted(b, s, 0.0)
+        a_sh = _shifted(a, s, 1.0, reverse)
+        b_sh = _shifted(b, s, 0.0, reverse)
         b = a * b_sh + b
         a = a * a_sh
         s *= 2
     return a, b
 
 
-def _scan_kernel(a_ref, b_ref, h_ref, carry_ref):
+def _scan_kernel(a_ref, b_ref, h_ref, carry_ref, *, reverse: bool):
     li = pl.program_id(2)
 
     @pl.when(li == 0)
@@ -135,19 +141,25 @@ def _scan_kernel(a_ref, b_ref, h_ref, carry_ref):
 
     a = a_ref[0]
     b = b_ref[0]
-    a_pref, b_pref = _scan_block(a, b)
-    # fold in the carried state from previous blocks of this (m, d) slice
+    a_pref, b_pref = _scan_block(a, b, reverse)
+    # fold in the state carried from the already-scanned blocks of this
+    # (m, d) slice (earlier blocks, or later ones in the reverse walk)
     h = a_pref * carry_ref[0:1, :] + b_pref
     h_ref[0] = h
-    carry_ref[0:1, :] = h[-1:, :]
+    carry_ref[0:1, :] = h[0:1, :] if reverse else h[-1:, :]
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _linear_scan_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("reverse",))
+def _linear_scan_pallas(a: jax.Array, b: jax.Array,
+                        reverse: bool = False) -> jax.Array:
+    """reverse=True computes h_t = a_t * h_{t+1} + b_t natively: the grid
+    walks L-blocks last-to-first and the in-block doubling runs bottom-up —
+    no jnp.flip round-trips (the backward pass' three full-array flips cost
+    ~50 ms/train-iter before this, measured)."""
     orig_shape = a.shape
     L, D = a.shape[-2], a.shape[-1]
     a2 = a.reshape(-1, L, D)
@@ -155,28 +167,36 @@ def _linear_scan_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
     M = a2.shape[0]
 
     Lp = _round_up(L, _LBLK)
-    Dp = _round_up(D, _DBLK)
+    # narrow channel counts keep D as the (partial) lane dim instead of
+    # zero-padding to the 128 lane tile: Mosaic allows a block lane dim equal
+    # to the full array dim, and the explicit pads cost 3.2x HBM traffic at
+    # the ss2d backward's D=40 (27 ms/train-iter of pad ops alone, measured)
+    dblk = D if D <= _DBLK else _DBLK
+    Dp = _round_up(D, dblk)
     if Lp != L:
         # identity padding (a=1, b=0) keeps the carry exact through the tail
+        # (in reverse, the pad region is walked first and leaves the carry 0)
         a2 = jnp.concatenate([a2, jnp.ones((M, Lp - L, D), a2.dtype)], axis=1)
         b2 = jnp.concatenate([b2, jnp.zeros((M, Lp - L, D), b2.dtype)], axis=1)
     if Dp != D:
         a2 = jnp.pad(a2, ((0, 0), (0, 0), (0, Dp - D)))
         b2 = jnp.pad(b2, ((0, 0), (0, 0), (0, Dp - D)))
 
-    grid = (M, Dp // _DBLK, Lp // _LBLK)
-    spec = pl.BlockSpec(
-        (1, _LBLK, _DBLK),
-        lambda m, d, l: (m, l, d),
-        memory_space=pltpu.VMEM,
-    )
+    nL = Lp // _LBLK
+    last = nL - 1
+    grid = (M, Dp // dblk, nL)
+    if reverse:
+        index_map = lambda m, d, l: (m, last - l, d)
+    else:
+        index_map = lambda m, d, l: (m, l, d)
+    spec = pl.BlockSpec((1, _LBLK, dblk), index_map, memory_space=pltpu.VMEM)
     h = pl.pallas_call(
-        _scan_kernel,
+        functools.partial(_scan_kernel, reverse=reverse),
         grid=grid,
         in_specs=[spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((M, Lp, Dp), a2.dtype),
-        scratch_shapes=[pltpu.VMEM((8, _DBLK), a2.dtype)],
+        scratch_shapes=[pltpu.VMEM((8, dblk), a2.dtype)],
         # off-TPU (CPU tests) the Mosaic kernel runs in interpreter mode
         interpret=jax.default_backend() != "tpu",
     )(a2, b2)
@@ -188,38 +208,45 @@ def _linear_scan_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
 # ----------------------------------------------------------------------------
 
 
-def _dispatch(a, b, backend):
+def _dispatch(a, b, backend, reverse=False):
+    if backend == "pallas":
+        return _linear_scan_pallas(a, b, reverse)
+    if reverse:  # ref/xla backends reverse by flipping around a forward scan
+        return jnp.flip(
+            _dispatch(jnp.flip(a, axis=-2), jnp.flip(b, axis=-2), backend),
+            axis=-2)
     if backend == "ref":
         return _linear_scan_ref(a, b)
     if backend == "xla":
         return _linear_scan_xla(a, b)
-    if backend == "pallas":
-        return _linear_scan_pallas(a, b)
     raise ValueError(f"unknown scan backend: {backend}")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _linear_scan(a, b, backend):
-    return _dispatch(a, b, backend)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _linear_scan(a, b, backend, reverse):
+    return _dispatch(a, b, backend, reverse)
 
 
-def _linear_scan_fwd(a, b, backend):
-    h = _dispatch(a, b, backend)
+def _linear_scan_fwd(a, b, backend, reverse):
+    h = _dispatch(a, b, backend, reverse)
     return h, (a, h)
 
 
-def _linear_scan_bwd(backend, res, g):
+def _linear_scan_bwd(backend, reverse, res, g):
     a, h = res
     ones = jnp.ones_like(a[..., :1, :])
-    a_next = jnp.concatenate([a[..., 1:, :], ones], axis=-2)
-    # λ_t = g_t + a_{t+1} λ_{t+1}  — reverse-direction scan
-    lam = jnp.flip(
-        _dispatch(jnp.flip(a_next, axis=-2), jnp.flip(g, axis=-2), backend),
-        axis=-2,
-    )
     zeros = jnp.zeros_like(h[..., :1, :])
-    h_prev = jnp.concatenate([zeros, h[..., :-1, :]], axis=-2)
-    da = lam * h_prev
+    if reverse:
+        # h_t = a_t h_{t+1} + b_t  =>  λ_t = g_t + a_{t-1} λ_{t-1} (forward
+        # scan over the shifted-down a), ∂a_t = λ_t h_{t+1}
+        a_adj = jnp.concatenate([ones, a[..., :-1, :]], axis=-2)
+        h_adj = jnp.concatenate([h[..., 1:, :], zeros], axis=-2)
+    else:
+        # λ_t = g_t + a_{t+1} λ_{t+1}  — reverse-direction scan
+        a_adj = jnp.concatenate([a[..., 1:, :], ones], axis=-2)
+        h_adj = jnp.concatenate([zeros, h[..., :-1, :]], axis=-2)
+    lam = _dispatch(a_adj, g, backend, reverse=not reverse)
+    da = lam * h_adj
     db = lam
     return da, db
 
@@ -227,14 +254,17 @@ def _linear_scan_bwd(backend, res, g):
 _linear_scan.defvjp(_linear_scan_fwd, _linear_scan_bwd)
 
 
-def linear_scan(a: jax.Array, b: jax.Array, backend: Optional[str] = None) -> jax.Array:
-    """Inclusive scan of ``h_t = a_t * h_{t-1} + b_t`` along axis -2.
+def linear_scan(a: jax.Array, b: jax.Array, backend: Optional[str] = None,
+                reverse: bool = False) -> jax.Array:
+    """Inclusive scan of ``h_t = a_t * h_{t-1} + b_t`` along axis -2
+    (or ``h_t = a_t * h_{t+1} + b_t`` when reverse=True — natively walked
+    back-to-front, no flips).
 
     a, b: (..., L, D). Returns h with the same shape/dtype. Differentiable.
     """
     if backend is None:
         backend = default_backend()
-    return _linear_scan(a, b, backend)
+    return _linear_scan(a, b, backend, reverse)
 
 
 # ----------------------------------------------------------------------------

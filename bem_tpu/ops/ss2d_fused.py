@@ -304,11 +304,13 @@ def ss2d_dir_ref(xs2, Wx, Wdt, bias, A, D):
     from .scan import linear_scan
 
     for s in range(S):
+        x = xs2[:, s].astype(jnp.float32)  # (B, C, L)
         for rev in (False, True):
             k = s + (2 if rev else 0)
-            x = xs2[:, s].astype(jnp.float32)  # (B, C, L)
-            if rev:
-                x = jnp.flip(x, axis=-1)
+            # native reverse scan on the unflipped arrays (projections are
+            # per-position); auto backend (pallas on TPU) — flip round-trips
+            # and xla associative_scan dominated the train step before
+            # (PLAN.md r4 s2)
             xdbl = jnp.einsum("pc,bcl->bpl", Wx[k].astype(jnp.float32), x)
             dt = jax.nn.softplus(
                 jnp.einsum("cr,brl->bcl", Wdt[k].astype(jnp.float32), xdbl[:, :R])
@@ -320,14 +322,10 @@ def ss2d_dir_ref(xs2, Wx, Wdt, bias, A, D):
             )[:, None, :, :]  # (B, C, L, N)
             a2 = jnp.moveaxis(a, 2, 1).reshape(B, L, C * N)
             b2 = jnp.moveaxis(b, 2, 1).reshape(B, L, C * N)
-            # auto backend (pallas on TPU): backward-recompute scans through
-            # xla associative_scan dominate the train step (PLAN.md r4 s2)
-            h = linear_scan(a2, b2).reshape(B, L, C, N)
+            h = linear_scan(a2, b2, reverse=rev).reshape(B, L, C, N)
             Cs = jnp.moveaxis(xdbl[:, R + N :], 1, 2)  # (B, L, N)
             y = jnp.einsum("blcn,bln->bcl", h, Cs)
             y = y + D[k].astype(jnp.float32)[None, :, None] * x
-            if rev:
-                y = jnp.flip(y, axis=-1)
             y2 = y2.at[:, s].add(y)
     return y2.astype(xs2.dtype)
 

@@ -49,6 +49,10 @@ def _softplus(x):
 
 
 SEG_ADD = 8      # additive-scan segment length
+# level-1 cumsum lowering: "roll" (pltpu.roll) or "slice" (zero-concat +
+# misaligned slice). Module-level so tools/scan_microbench.py can A/B it;
+# the measured winner is baked in as the default.
+SEG_CUMSUM_MODE = "roll"
 W_CLAMP = -10.0  # per-lane log-decay clamp: exp(-10) = 4.5e-5 decay is an
                  # effective state reset already; bounds the within-segment
                  # log range to SEG_ADD*W_CLAMP = -80 so exp(+80)*b stays
@@ -56,7 +60,7 @@ W_CLAMP = -10.0  # per-lane log-decay clamp: exp(-10) = 4.5e-5 decay is an
                  # fp32 state; same tolerance class as its expf pipeline)
 
 
-def _seg_scan_add(w, b, reverse: bool, Tseg=None):
+def _seg_scan_add(w, b, reverse: bool):
     """Within-SEG_ADD-segment inclusive (a, b) scan via ADDITIVE doublings.
 
     w = log-decay (dt*A, clamped), b = input. Instead of scanning the
@@ -66,25 +70,32 @@ def _seg_scan_add(w, b, reverse: bool, Tseg=None):
       hseg = P * segwise-cumsum(b * exp(-S))    (within-seg scan output)
     Returns (P, hseg) — same contract as _seg_scan on SEG_ADD segments.
 
-    If ``Tseg`` (a block-diagonal segment-triangular (L, L) matrix) is
-    given, the two cumsums run as full-precision MXU dots instead of VPU
-    roll/add doublings — the MXU is otherwise idle during the scan, so
-    Mosaic can overlap them with the surrounding VPU passes
-    (BEM_SCAN_MXU_CUMSUM experiment).
+    MEASURED dead end (round 4, BEM_SCAN_MXU_CUMSUM deleted): running the
+    two cumsums as MXU dots against a block-diagonal segment-triangular
+    (LBLK, LBLK) matrix OOMs the Mosaic kernel vmem stack, and is
+    structurally hopeless anyway — the 8-wide diagonal blocks make the
+    1024-wide full-precision dot waste 128x of the MXU's work on zeros.
     """
     col = jax.lax.broadcasted_iota(jnp.int32, (1, w.shape[1]), 1) % SEG_ADD
 
     def cumsum_seg(x):
-        if Tseg is not None:
-            # segment sums need FULL f32 dot precision (log-decay sums reach
-            # SEG_ADD*W_CLAMP = -80; single-pass bf16 truncation would feed
-            # ~1e-2 relative error into exp)
-            return jnp.dot(x, Tseg, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
         s = 1
         y = x
         while s < SEG_ADD:
-            if reverse:
+            if SEG_CUMSUM_MODE == "slice":
+                # shifted view as a zero-concat + misaligned slice — the
+                # Mosaic lowering class that beat pltpu.roll in the gdmlp
+                # tap measurement (tools/scan_microbench.py decides here)
+                C_ = y.shape[0]
+                Ln = y.shape[1]
+                z = jnp.zeros((C_, s), jnp.float32)
+                if reverse:
+                    mask = col >= SEG_ADD - s
+                    y_sh = jnp.concatenate([y[:, s:], z], axis=1)
+                else:
+                    mask = col < s
+                    y_sh = jnp.concatenate([z, y[:, : Ln - s]], axis=1)
+            elif reverse:
                 mask = col >= SEG_ADD - s
                 y_sh = _roll(y, -s)
             else:
@@ -124,12 +135,12 @@ def _small_scan(a, b, reverse: bool):
     return a, b
 
 
-def _block_scan_add(w, b, E, Fb, reverse: bool, Tseg=None):
+def _block_scan_add(w, b, E, Fb, reverse: bool):
     """Two-level inclusive scan over LBLK lanes with the ADDITIVE level-1
     (_seg_scan_add, SEG_ADD segments); level 2 keeps the (a, b) monoid
     doubling on the small (C', nseg) aggregates."""
     nseg = w.shape[1] // SEG_ADD
-    a1, b1 = _seg_scan_add(w, b, reverse, Tseg)
+    a1, b1 = _seg_scan_add(w, b, reverse)
     a_seg = jnp.dot(a1, E, preferred_element_type=jnp.float32)  # (C', nseg)
     b_seg = jnp.dot(b1, E, preferred_element_type=jnp.float32)
     a_sc, b_sc = _small_scan(a_seg, b_seg, reverse)

@@ -52,12 +52,10 @@ PAIRS = {"row": (0, 2), "col": (1, 3)}
 
 
 def _dir_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
-              use_d: bool = True, mxu_cumsum: bool = False):
+              use_d: bool = True):
     refs = list(refs)
     (x_ref, wx, wdt, bias, A, D, ebn, ecn, E, Fb, eend) = refs[:11]
     i = 11
-    tseg = refs[i] if mxu_cumsum else None
-    i += int(mxu_cumsum)
     yin_ref = refs[i] if merge else None
     i += int(merge)
     y_ref, h_ref = refs[i], refs[i + 1]
@@ -81,9 +79,7 @@ def _dir_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
         C_bc = jnp.dot(ecn[n], rows_C, preferred_element_type=jnp.float32)
         w = jnp.maximum(dt * A[0, :, n : n + 1], W_CLAMP)
         b = du * B_bc
-        a_pref, b_pref = _block_scan_add(
-            w, b, E[...], Fb[...], rev,
-            tseg[...] if tseg is not None else None)
+        a_pref, b_pref = _block_scan_add(w, b, E[...], Fb[...], rev)
         h = a_pref * h_ref[:, n : n + 1] + b_pref
         a_end = jnp.dot(a_pref, eend[...], preferred_element_type=jnp.float32)
         b_end = jnp.dot(b_pref, eend[...], preferred_element_type=jnp.float32)
@@ -139,27 +135,14 @@ def _run_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N: int, d: int,
         const(ebn), const(ecn), const(E), const(Fb), const(eend),
     ]
     operands = [x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, E, Fb, eend]
-    import os
-
-    mxu_cumsum = os.environ.get("BEM_SCAN_MXU_CUMSUM", "0") == "1"
-    if mxu_cumsum:
-        # block-diagonal segment-triangular matrix: T[i, j] = 1 within a
-        # SEG_ADD segment for i <= j (fwd) / i >= j (rev) — inclusive
-        # segment cumsum as one MXU dot (see _seg_scan_add)
-        seg_eq = (i[:, None] // SEG_ADD) == (i[None, :] // SEG_ADD)
-        tri = (i[:, None] >= i[None, :]) if rev else (i[:, None] <= i[None, :])
-        Tseg = jnp.asarray((seg_eq & tri).astype(np.float32))
-        in_specs.append(const(Tseg))
-        operands.append(Tseg)
     if yin is not None:
         in_specs.append(x_spec)  # same block order as the output
         operands.append(yin)
 
     kernel = functools.partial(
-        lambda *refs, GR, GN, N, rev, merge, use_d, mxu_cumsum: _dir_body(
-            refs, GR, GN, N, rev, merge, use_d, mxu_cumsum),
+        lambda *refs, GR, GN, N, rev, merge, use_d: _dir_body(
+            refs, GR, GN, N, rev, merge, use_d),
         GR=GR, GN=GN, N=N, rev=rev, merge=yin is not None, use_d=use_d,
-        mxu_cumsum=mxu_cumsum,
     )
     with mm_precision(x.dtype):
         return pl.pallas_call(
@@ -190,10 +173,14 @@ def _seq_pair_ref(xseq, Wx, Wdt, bias, A, D, d_f: int, d_r: int):
     N = A.shape[-1]
     R = P - 2 * N
     out = jnp.zeros((B, C, L), jnp.float32)
+    x = xseq.astype(jnp.float32)
     for k, rev in ((d_f, False), (d_r, True)):
-        x = xseq.astype(jnp.float32)
-        if rev:
-            x = jnp.flip(x, axis=-1)
+        # the projections are per-position, so the reverse direction runs as
+        # a native reverse scan on the unflipped arrays — no jnp.flip
+        # round-trips (three full-array flips cost ~50 ms/train-iter before
+        # this, measured). backend=None -> auto (pallas on TPU): the xla
+        # associative_scan here cost 1.1 s/train-iter in stride-2 slice/pad
+        # ops (measured, PLAN.md r4 s2).
         xdbl = jnp.einsum("pc,bcl->bpl", Wx[k].astype(jnp.float32), x)
         dt = jax.nn.softplus(
             jnp.einsum("cr,brl->bcl", Wdt[k].astype(jnp.float32), xdbl[:, :R])
@@ -204,15 +191,10 @@ def _seq_pair_ref(xseq, Wx, Wdt, bias, A, D, d_f: int, d_r: int):
             xdbl[:, R : R + N], 1, 2)[:, None, :, :]
         a2 = jnp.moveaxis(a, 2, 1).reshape(B, L, C * N)
         b2 = jnp.moveaxis(b, 2, 1).reshape(B, L, C * N)
-        # backend=None -> auto (pallas on TPU): this composition is the
-        # TRAIN-path backward recompute; the xla associative_scan here cost
-        # 1.1 s/train-iter in stride-2 slice/pad ops (measured, PLAN.md r4 s2)
-        h = linear_scan(a2, b2).reshape(B, L, C, N)
+        h = linear_scan(a2, b2, reverse=rev).reshape(B, L, C, N)
         Cs = jnp.moveaxis(xdbl[:, R + N :], 1, 2)
         y = jnp.einsum("blcn,bln->bcl", h, Cs)
         y = y + D[k].astype(jnp.float32)[None, :, None] * x
-        if rev:
-            y = jnp.flip(y, axis=-1)
         out = out + y
     return out.astype(xseq.dtype)
 

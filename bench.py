@@ -90,11 +90,11 @@ def build_pipeline(nimg: int = 2):
         n_feat=40, stage=1, num_blocks=(2, 2, 2), d_state=(1, 1, 1),
         ssm_ratio=1, mlp_ratio=4, mlp_type="gdmlp", use_pixelshuffle=True,
     )
-    # experiment hook: the CG runs at /16 resolution where pallas kernel
-    # launch overheads may beat XLA fusion — BEM_BENCH_CG_BACKEND=xla to test
-    cg_backend = os.environ.get("BEM_BENCH_CG_BACKEND") or None
+    # measured (round 4): forcing the /16-res CG stage onto scan_backend=
+    # "xla" LOSES (1.87 vs 2.02 img/s) — the pallas kernels win even at
+    # CG sizes, so the CG net takes the default backend like everything else
     cg = build_network(dict(type="Network", in_channels=3, out_channels=3,
-                            bayesian=True, scan_backend=cg_backend, **common))
+                            bayesian=True, **common))
     ie = build_network(dict(type="Network", in_channels=6, out_channels=3, **common))
 
     # pad to window multiples (eval.py pads to multiple of 4*scale)

@@ -68,6 +68,59 @@ def test_linear_scan_matches_numpy(rng, backend, L):
     np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("backend", ["ref", "xla", "pallas"])
+@pytest.mark.parametrize("L", [8, 64, 300])
+def test_linear_scan_reverse_matches_numpy(rng, backend, L):
+    """h_t = a_t * h_{t+1} + b_t — native back-to-front walk (the pallas
+    backend reverses the grid + in-block doubling; ref/xla flip around a
+    forward scan). L=300 covers the non-multiple-of-LBLK tail, where the
+    reverse grid walks the identity padding FIRST."""
+    D = 24
+    a = rng.random((2, L, D)).astype(np.float32)
+    b = rng.standard_normal((2, L, D)).astype(np.float32)
+    h = np.zeros((2, D))
+    expect = np.zeros((2, L, D))
+    for t in range(L - 1, -1, -1):
+        h = a[:, t] * h + b[:, t]
+        expect[:, t] = h
+    got = linear_scan(jnp.asarray(a), jnp.asarray(b), backend=backend,
+                      reverse=True)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_linear_scan_reverse_grads_match_ref(rng, backend, reverse):
+    a = rng.random((1, 96, 16)).astype(np.float32)
+    b = rng.standard_normal((1, 96, 16)).astype(np.float32)
+    w = rng.standard_normal((1, 96, 16)).astype(np.float32)
+
+    def loss(fn_backend):
+        def f(a_, b_):
+            return jnp.sum(
+                linear_scan(a_, b_, backend=fn_backend, reverse=reverse) * w)
+
+        return jax.grad(f, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+
+    da_ref, db_ref = loss("ref")
+    da, db = loss(backend)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_linear_scan_reverse_narrow_lane(rng):
+    """D=40 < 128 exercises the partial-lane block path (no 128-pad)."""
+    a = rng.random((1, 272, 40)).astype(np.float32)
+    b = rng.standard_normal((1, 272, 40)).astype(np.float32)
+    for reverse in (False, True):
+        ref = linear_scan(jnp.asarray(a), jnp.asarray(b), backend="ref",
+                          reverse=reverse)
+        got = linear_scan(jnp.asarray(a), jnp.asarray(b), backend="pallas",
+                          reverse=reverse)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
 def test_linear_scan_grads_match_ref(rng, backend):
     a = rng.random((1, 96, 16)).astype(np.float32)

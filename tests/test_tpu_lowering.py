@@ -41,9 +41,7 @@ def _lower(f, *args):
     return txt
 
 
-@pytest.mark.parametrize("mxu_cumsum", ["0", "1"])
-def test_seq_pair_lowering(tpu_trace, monkeypatch, mxu_cumsum):
-    monkeypatch.setenv("BEM_SCAN_MXU_CUMSUM", mxu_cumsum)
+def test_seq_pair_lowering(tpu_trace):
     from bem_tpu.ops.ss2d_seq import ss2d_seq_pair_g
 
     B, C, L, G, N, R = 8, 40, 32 * 32, 8, 1, 3
@@ -55,6 +53,44 @@ def test_seq_pair_lowering(tpu_trace, monkeypatch, mxu_cumsum):
     A = -jnp.asarray(rng.random((4, C, N)), jnp.float32)
     D = jnp.asarray(rng.random((4, C)), jnp.float32)
     _lower(lambda *a: ss2d_seq_pair_g(*a, G, "row"), x, Wx, Wdt, bias, A, D)
+
+
+def test_seq_pair_grad_lowering(tpu_trace):
+    """TRAIN path: the custom_vjp backward recomputes through the jnp
+    composition whose scans are now native pallas reverse scans
+    (ops/scan.py _linear_scan_pallas(reverse=True)) — must lower for TPU."""
+    from bem_tpu.ops.ss2d_seq import ss2d_seq_pair_g
+
+    B, C, L, G, N, R = 8, 16, 16 * 16, 8, 1, 2
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((B // G, G * C, L)), jnp.float32)
+    Wx = jnp.asarray(rng.random((4, R + 2 * N, C)), jnp.float32)
+    Wdt = jnp.asarray(rng.random((4, C, R)), jnp.float32)
+    bias = jnp.asarray(rng.random((4, C)), jnp.float32)
+    A = -jnp.asarray(rng.random((4, C, N)), jnp.float32)
+    D = jnp.asarray(rng.random((4, C)), jnp.float32)
+
+    def loss(x, Wx, Wdt, bias, A, D):
+        return jnp.sum(ss2d_seq_pair_g(x, Wx, Wdt, bias, A, D, G, "row"))
+
+    _lower(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5)),
+           x, Wx, Wdt, bias, A, D)
+
+
+def test_linear_scan_reverse_lowering(tpu_trace):
+    """Native reverse walk of the pallas linear scan (fwd+bwd), incl. the
+    narrow-lane (D<128, no pad) block path."""
+    from bem_tpu.ops.scan import linear_scan
+
+    rng = np.random.default_rng(4)
+    for D in (40, 128):
+        a = jnp.asarray(rng.random((2, 300, D)), jnp.float32)
+        b = jnp.asarray(rng.random((2, 300, D)), jnp.float32)
+        _lower(lambda a, b: linear_scan(a, b, backend="pallas", reverse=True),
+               a, b)
+        _lower(jax.grad(lambda a, b: jnp.sum(
+            linear_scan(a, b, backend="pallas", reverse=True)),
+            argnums=(0, 1)), a, b)
 
 
 def test_tail_lowering(tpu_trace):

@@ -99,6 +99,21 @@ def main():
         ts.append(time.perf_counter() - t0)
     med = float(np.median(ts))
 
+    # pipelined: batch pre-uploaded once, steps dispatched back-to-back, one
+    # log fetch at the end — what a training loop with the repo's prefetcher
+    # + periodic logging actually does. The strict number above pays a
+    # host->device upload and a ~30 ms tunnel scalar fetch EVERY step.
+    import jax.numpy as jnp
+
+    batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+    logs = model.train_step(batch_dev)
+    float(logs["l_pix"])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        logs = model.train_step(batch_dev)
+    float(logs["l_pix"])
+    pipelined = (time.perf_counter() - t0) / args.iters
+
     if args.trace:
         os.system(f"rm -rf {args.trace}")
         jax.profiler.start_trace(args.trace)
@@ -128,6 +143,7 @@ def main():
         "arch": args.arch, "batch": B, "patch": P,
         "s_per_iter_median": round(med, 4),
         "s_per_iter_min": round(float(min(ts)), 4),
+        "s_per_iter_pipelined": round(pipelined, 4),
         "warmup_s": round(warm, 1),
         "perceptual": "perceptual_opt" in train,
         "ref_s_per_iter": 0.31,
