@@ -33,12 +33,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .ss2d_fused import mm_precision
 
-# depthwise-tap arithmetic dtype: "f32" (default) or "bf16" (experiment: if
-# Mosaic packs bf16 vector ops 2/lane the 9-tap loop halves; adopt only if
-# the chip measurement wins AND bf16 full-scale parity holds)
-CONV_DTYPE = "f32"
-
-
 def _gelu_exact(x):
     """Exact (erf) GELU, Mosaic-lowerable.
 
@@ -110,16 +104,16 @@ def _dw3x3_taps(hid, dw, maskl, maskr, k: int, W: int):
     """Depthwise 3x3 over a (2h, (k+2)*W) hidden row-window.
 
     Nine static lane-slices of a 128-zero-padded window, grouped by dx for
-    the edge masks. MEASURED dead end (round 4): hoisting the dx = ±1 taps
-    into two pltpu.roll's of the whole window is 35% SLOWER (L0 serving
+    the edge masks. MEASURED dead ends (round 4): (a) hoisting the dx = ±1
+    taps into two pltpu.roll's of the whole window is 35% SLOWER (L0 serving
     29 -> 39 ms/call) — Mosaic lowers static circular rolls far worse than
-    misaligned slices, so the padded-slice form stands."""
-    ct = jnp.bfloat16 if CONV_DTYPE == "bf16" else jnp.float32
-    hid = hid.astype(ct)
-    dw = dw[...].astype(ct)  # (2h, 9) tap table, loaded once from the ref
-    z128 = jnp.zeros((hid.shape[0], 128), ct)
-    hid = jnp.concatenate([z128, hid, z128], axis=1)
-    conv = jnp.zeros((hid.shape[0], k * W), ct)
+    misaligned slices; (b) running the tap arithmetic in bf16 is 15% SLOWER
+    (70.5 vs 61.4 ms/L0-call) — Mosaic's bf16 vector ops don't pack 2/lane
+    here and the cast passes dominate. The fp32 padded-slice form stands."""
+    hid = jnp.concatenate(
+        [jnp.zeros((hid.shape[0], 128), jnp.float32), hid,
+         jnp.zeros((hid.shape[0], 128), jnp.float32)], axis=1)
+    conv = jnp.zeros((hid.shape[0], k * W), jnp.float32)
     for dx in (-1, 0, 1):
         acc = jnp.zeros_like(conv)
         for dy in (-1, 0, 1):
@@ -127,11 +121,11 @@ def _dw3x3_taps(hid, dw, maskl, maskr, k: int, W: int):
             s = 128 + (1 + dy) * W + dx
             acc = acc + tap * hid[:, s : s + k * W]
         if dx == -1:
-            acc = acc * maskl[...].astype(ct)
+            acc = acc * maskl[...]
         elif dx == 1:
-            acc = acc * maskr[...].astype(ct)
+            acc = acc * maskr[...]
         conv = conv + acc
-    return conv.astype(jnp.float32)
+    return conv
 
 
 def _body(*refs, h: int, W: int, k: int, H: int, nblk: int, has_b1: bool,

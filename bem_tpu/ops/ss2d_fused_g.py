@@ -49,10 +49,6 @@ def _softplus(x):
 
 
 SEG_ADD = 8      # additive-scan segment length
-# level-1 cumsum lowering: "roll" (pltpu.roll) or "slice" (zero-concat +
-# misaligned slice). Module-level so tools/scan_microbench.py can A/B it;
-# the measured winner is baked in as the default.
-SEG_CUMSUM_MODE = "roll"
 W_CLAMP = -10.0  # per-lane log-decay clamp: exp(-10) = 4.5e-5 decay is an
                  # effective state reset already; bounds the within-segment
                  # log range to SEG_ADD*W_CLAMP = -80 so exp(+80)*b stays
@@ -70,11 +66,14 @@ def _seg_scan_add(w, b, reverse: bool):
       hseg = P * segwise-cumsum(b * exp(-S))    (within-seg scan output)
     Returns (P, hseg) — same contract as _seg_scan on SEG_ADD segments.
 
-    MEASURED dead end (round 4, BEM_SCAN_MXU_CUMSUM deleted): running the
-    two cumsums as MXU dots against a block-diagonal segment-triangular
+    MEASURED dead ends (round 4): (a) BEM_SCAN_MXU_CUMSUM, deleted — running
+    the two cumsums as MXU dots against a block-diagonal segment-triangular
     (LBLK, LBLK) matrix OOMs the Mosaic kernel vmem stack, and is
     structurally hopeless anyway — the 8-wide diagonal blocks make the
     1024-wide full-precision dot waste 128x of the MXU's work on zeros.
+    (b) lowering the shifted views as zero-concat + misaligned slices (the
+    form that beat pltpu.roll in the gdmlp tap loop) is a tie here (48.32 vs
+    48.63 ms/pair-call) — the roll form stays.
     """
     col = jax.lax.broadcasted_iota(jnp.int32, (1, w.shape[1]), 1) % SEG_ADD
 
@@ -82,20 +81,7 @@ def _seg_scan_add(w, b, reverse: bool):
         s = 1
         y = x
         while s < SEG_ADD:
-            if SEG_CUMSUM_MODE == "slice":
-                # shifted view as a zero-concat + misaligned slice — the
-                # Mosaic lowering class that beat pltpu.roll in the gdmlp
-                # tap measurement (tools/scan_microbench.py decides here)
-                C_ = y.shape[0]
-                Ln = y.shape[1]
-                z = jnp.zeros((C_, s), jnp.float32)
-                if reverse:
-                    mask = col >= SEG_ADD - s
-                    y_sh = jnp.concatenate([y[:, s:], z], axis=1)
-                else:
-                    mask = col < s
-                    y_sh = jnp.concatenate([z, y[:, : Ln - s]], axis=1)
-            elif reverse:
+            if reverse:
                 mask = col >= SEG_ADD - s
                 y_sh = _roll(y, -s)
             else:
