@@ -199,10 +199,14 @@ def preprocess(images: jax.Array, image_size: int = 224) -> jax.Array:
     return (x - CLIP_MEAN) / CLIP_STD
 
 
-def clip_iqa_score_fn(params: Dict[str, Any], text_embeds: np.ndarray,
+def clip_iqa_score_fn(text_embeds: np.ndarray,
                       prompts: Sequence[str], logit_scale: float,
                       tower: Optional[CLIPVisionTower] = None):
-    """Build ``images (K,H,W,3) [0,1] -> (K,) scores`` (higher = better).
+    """Build ``(params, images (K,H,W,3) [0,1]) -> (K,) scores`` (higher =
+    better). The vision params are a TRACED argument, not a closure: baking
+    the 87M-param tower into the jaxpr as constants inflates the compiled
+    program body past remote-compile transport limits (HTTP 413 on the axon
+    tunnel, measured round 4) and would re-constant-fold per jit cache entry.
 
     text_embeds: (2*len(prompts), proj_dim) normalized, pair-ordered
     [pos0, neg0, pos1, neg1, ...] (torchmetrics prompt-pair protocol).
@@ -211,7 +215,7 @@ def clip_iqa_score_fn(params: Dict[str, Any], text_embeds: np.ndarray,
     te = jnp.asarray(text_embeds)
     scale = float(logit_scale)
 
-    def fn(images):
+    def fn(params, images):
         x = preprocess(images.astype(jnp.float32), tower.image_size)
         img = tower.apply({"params": params}, x)
         img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)

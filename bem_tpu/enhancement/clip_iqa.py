@@ -59,8 +59,14 @@ class ClipIQA:
                         f"prompt {p!r} not in converted bundle {npz} "
                         f"(has {avail}); re-run tools/convert_clip.py")
                 idx += [2 * avail.index(p), 2 * avail.index(p) + 1]
-            self._fn = jax.jit(clip_iqa_score_fn(
-                params, text_embeds[idx], self.prompts, scale))
+            import jax.numpy as jnp
+
+            # params ride as jit ARGUMENTS (device buffers), not closure
+            # constants — see clip_iqa_score_fn's docstring
+            self._params = jax.tree.map(jnp.asarray, params)
+            self._score = jax.jit(clip_iqa_score_fn(
+                text_embeds[idx], self.prompts, scale))
+            self._fn = lambda images: self._score(self._params, images)
             return
         clip_dir = os.environ.get("BEM_CLIP_DIR")
         if not clip_dir or not os.path.isdir(clip_dir):

@@ -85,9 +85,9 @@ def test_clip_iqa_pipeline_matches_torchmetrics_protocol(tiny_clip, rng):
     scale = float(np.exp(sd["logit_scale"]))
 
     imgs = rng.random((4, 64, 64, 3)).astype(np.float32)
-    fn = jax.jit(clip_iqa_score_fn(params, te, prompts, scale,
+    fn = jax.jit(clip_iqa_score_fn(te, prompts, scale,
                                    tower=_tower_for(cfg)))
-    got = np.asarray(fn(jnp.asarray(imgs)))
+    got = np.asarray(fn(params, jnp.asarray(imgs)))
 
     # torch side on the SAME preprocessed pixels (isolates resize choice)
     pix = np.asarray(preprocess(jnp.asarray(imgs), cfg.vision_config.image_size))
