@@ -309,7 +309,11 @@ class SS2D(nn.Module):
             # transposes for the column sequence (plus, in NHWC, the
             # boundary transposes into/out of the channel-first core).
             from ..ops.ss2d_fused_g import pick_group
-            from ..ops.ss2d_seq import ss2d_seq_pair_g
+            from ..ops.ss2d_seq import (
+                col_pair_supported,
+                ss2d_col_pair_g,
+                ss2d_seq_pair_g,
+            )
             from ..ops.ss2d_tail import ss2d_tail_cf
 
             if xs_in.ndim == 3:
@@ -324,23 +328,30 @@ class SS2D(nn.Module):
             # grouping folds the batch into sublanes; on the (C, L)-tiled
             # flat stream these reshapes are free bitcasts
             row = xf.reshape(Bg, G * d_inner, L)
-            # group-preserving column transpose: the L index is independent
-            # of the (B, G·C) sublane packing, so transposing H/W inside the
-            # grouped layout is value-identical to ungroup->transpose->regroup
-            # but skips the (Bg, G·C) <-> (B, C) sublane+lane retile (the
-            # ungrouped form cost 12.8 ms/copy at L0 serving shapes — traced)
-            col = jnp.transpose(
-                row.reshape(Bg, G * d_inner, H, W), (0, 1, 3, 2)
-            ).reshape(Bg, G * d_inner, L)
             A4 = A.reshape(K, d_inner, N)
             D4 = Ds.reshape(K, d_inner)
             y_row = ss2d_seq_pair_g(row, x_proj_weight, dt_projs_weight,
                                     dt_projs_bias, A4, D4, G, "row")
-            y_col = ss2d_seq_pair_g(col, x_proj_weight, dt_projs_weight,
-                                    dt_projs_bias, A4, D4, G, "col")
-            y_colT = jnp.transpose(
-                y_col.reshape(Bg, G * d_inner, W, H), (0, 1, 3, 2)
-            ).reshape(Bg, G * d_inner, L)
+            if col_pair_supported(H, W):
+                # transpose-free column pair: the col kernel walks th-row
+                # slabs of the ROW-major stream with per-column lane-parallel
+                # recurrences — no (L) <-> (W, H) retile round-trip (the
+                # transpose chain cost ~150 ms/serving-iter, traced round 4)
+                y_colT = ss2d_col_pair_g(row, x_proj_weight, dt_projs_weight,
+                                         dt_projs_bias, A4, D4, G, H, W)
+            else:
+                # group-preserving column transpose fallback: the L index is
+                # independent of the (B, G·C) sublane packing, so transposing
+                # H/W inside the grouped layout is value-identical to
+                # ungroup->transpose->regroup but skips the sublane retile
+                col = jnp.transpose(
+                    row.reshape(Bg, G * d_inner, H, W), (0, 1, 3, 2)
+                ).reshape(Bg, G * d_inner, L)
+                y_col = ss2d_seq_pair_g(col, x_proj_weight, dt_projs_weight,
+                                        dt_projs_bias, A4, D4, G, "col")
+                y_colT = jnp.transpose(
+                    y_col.reshape(Bg, G * d_inner, W, H), (0, 1, 3, 2)
+                ).reshape(Bg, G * d_inner, L)
             on_scale, on_bias = LayerNormParams(d_inner, name="out_norm")()
             wout, bout = DenseParams(
                 d_inner, self.d_model, use_bias=self.bias,

@@ -161,6 +161,219 @@ def _run_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N: int, d: int,
         )(*operands)
 
 
+def _pick_col_rows(H: int, W: int, cap: int = 1536):
+    """Rows per col-scan block: the largest t dividing H with t*W <= cap
+    lanes and t*W divisible by 128 (the Mosaic partial-block rule); small
+    images (H*W <= 4096) fall back to ONE whole-image block, which is
+    always legal (lane dim == full array dim). None -> caller must take
+    the transpose path. cap=1536 keeps the ~8 live (GC, t*W) fp32
+    intermediates inside the ~16 MB/core VMEM at GC=320."""
+    best = None
+    for t in range(1, min(H, 8) + 1):
+        if H % t == 0 and t * W <= cap and (t * W) % 128 == 0:
+            best = t
+    if best is None and H * W <= 4096:
+        return H
+    return best
+
+
+def col_pair_supported(H: int, W: int) -> bool:
+    """Whether the transpose-free column-pair kernel can run at (H, W)."""
+    return _pick_col_rows(H, W) is not None
+
+
+def _col_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
+              phase: str, th: int, W: int, use_d: bool = True):
+    """Column-direction kernel body over th-row slabs of the row-major
+    stream. The per-COLUMN recurrences are lane-parallel (one FMA pass per
+    image row), but the flattened col-major sequence also carries state
+    ACROSS columns (bottom of column w feeds the top of column w+1), so the
+    scan splits into two walks:
+
+      phase "local": per-column scans from a zero column-top state, emitting
+        y_loc = C·h_loc (+ D·x / merge), plus per-column summaries — the
+        column end-state ``send`` and total log-decay ``stot`` — from which
+        the caller computes the true column entry states s_init with one
+        tiny cross-column scan over W.
+      phase "fix": re-walks the slabs accumulating the inclusive per-column
+        log-decay sum c(h, w) and adds the carried term
+        C·exp(c)·s_init(w) onto y (exact: h = h_loc + cumA·s_init).
+    """
+    refs = list(refs)
+    (x_ref, wx, wdt, bias, A, D, ebn, ecn) = refs[:8]
+    i = 8
+    sinit_ref = None
+    if phase == "fix":
+        sinit_ref = refs[i]
+        i += 1
+    yin_ref = refs[i] if merge else None
+    i += int(merge)
+    if phase == "local":
+        y_ref, send_ref, stot_ref = refs[i], refs[i + 1], refs[i + 2]
+        h_ref, s_ref = refs[i + 3], refs[i + 4]
+    else:
+        y_ref = refs[i]
+        c_ref = refs[i + 1]  # running inclusive log-decay sum (GC, N*W)
+
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        if phase == "local":
+            h_ref[...] = jnp.zeros_like(h_ref)
+            s_ref[...] = jnp.zeros_like(s_ref)
+        else:
+            c_ref[...] = jnp.zeros_like(c_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (GC, th*W) — th image rows
+    xdbl = jnp.dot(wx[0], x, preferred_element_type=jnp.float32)
+    dtr = jnp.dot(wdt[0], xdbl[:GR], preferred_element_type=jnp.float32)
+    dt = _softplus(dtr + bias[0])
+    rows_C = xdbl[GR + GN :]
+    if phase == "local":
+        du = dt * x
+        rows_B = xdbl[GR : GR + GN]
+    y = jnp.zeros_like(x)
+    order = list(range(th - 1, -1, -1) if rev else range(th))
+    for n in range(N):
+        C_bc = jnp.dot(ecn[n], rows_C, preferred_element_type=jnp.float32)
+        w = jnp.maximum(dt * A[0, :, n : n + 1], W_CLAMP)
+        nsl = slice(n * W, (n + 1) * W)
+        pieces = [None] * th
+        if phase == "local":
+            B_bc = jnp.dot(ebn[n], rows_B, preferred_element_type=jnp.float32)
+            a = jnp.exp(w)
+            b = du * B_bc
+            h = h_ref[:, nsl]
+            s = s_ref[:, nsl]
+            for t in order:
+                sl = slice(t * W, (t + 1) * W)
+                h = a[:, sl] * h + b[:, sl]
+                s = s + w[:, sl]
+                pieces[t] = C_bc[:, sl] * h
+            h_ref[:, nsl] = h
+            s_ref[:, nsl] = s
+            send_ref[0, :, nsl] = h
+            stot_ref[0, :, nsl] = s
+        else:
+            c = c_ref[:, nsl]
+            s_init = sinit_ref[0, :, nsl].astype(jnp.float32)
+            for t in order:
+                sl = slice(t * W, (t + 1) * W)
+                c = c + w[:, sl]
+                pieces[t] = C_bc[:, sl] * jnp.exp(c) * s_init
+            c_ref[:, nsl] = c
+        y = y + jnp.concatenate(pieces, axis=1)
+    if use_d:
+        y = y + D[0] * x
+    if merge:
+        y = y + yin_ref[0].astype(jnp.float32)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def _run_col_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N: int, d: int,
+                 rev: bool, H: int, W: int, th: int, phase: str,
+                 sinit=None, yin=None, use_d: bool = True):
+    """One COLUMN-direction pass over the ROW-major stream x (Bg, GC, H*W).
+
+    The grid walks th-row slabs top-to-bottom (bottom-up when rev); the
+    per-column state (GC, N*W) carries between slabs in scratch. phase
+    "local" returns (y, send, stot); phase "fix" returns y (requires
+    ``sinit``). If ``yin`` is given, y += yin."""
+    Bg, GC, L = x.shape
+    GP = Wx_g.shape[1]
+    GN = ebn.shape[-1]
+    GR = GP - 2 * GN
+    nH = H // th
+    last = nH - 1
+    blk = th * W
+
+    if rev:
+        x_spec = pl.BlockSpec((1, GC, blk), lambda b, l: (b, 0, last - l),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((1, GC, blk), lambda b, l: (b, 0, l),
+                              memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, GC, N * W), lambda b, l: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec((1,) + shape, lambda b, l: (d,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    const = lambda arr: pl.BlockSpec(
+        arr.shape, lambda b, l: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        x_spec,
+        wspec((GP, GC)), wspec((GC, GR)), wspec((GC, 1)),
+        wspec((GC, N)), wspec((GC, 1)),
+        const(ebn), const(ecn),
+    ]
+    operands = [x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn]
+    if phase == "fix":
+        in_specs.append(col_spec)
+        operands.append(sinit)
+    if yin is not None:
+        in_specs.append(x_spec)
+        operands.append(yin)
+
+    if phase == "local":
+        out_specs = [x_spec, col_spec, col_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((Bg, GC, L), x.dtype),
+            jax.ShapeDtypeStruct((Bg, GC, N * W), jnp.float32),
+            jax.ShapeDtypeStruct((Bg, GC, N * W), jnp.float32),
+        ]
+        scratch = [pltpu.VMEM((GC, N * W), jnp.float32),
+                   pltpu.VMEM((GC, N * W), jnp.float32)]
+    else:
+        out_specs = x_spec
+        out_shape = jax.ShapeDtypeStruct((Bg, GC, L), x.dtype)
+        scratch = [pltpu.VMEM((GC, N * W), jnp.float32)]
+
+    kernel = functools.partial(
+        lambda *refs, GR, GN, N, rev, merge, phase, th, W, use_d: _col_body(
+            refs, GR, GN, N, rev, merge, phase, th, W, use_d),
+        GR=GR, GN=GN, N=N, rev=rev, merge=yin is not None, phase=phase,
+        th=th, W=W, use_d=use_d,
+    )
+    with mm_precision(x.dtype):
+        return pl.pallas_call(
+            kernel,
+            grid=(Bg, nH),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=jax.default_backend() != "tpu",
+        )(*operands)
+
+
+def _col_cross_scan(send, stot, N: int, W: int, rev: bool):
+    """Column entry states from per-column summaries: the tiny cross-column
+    recurrence s_init(w) = totA(w∓1)·s_init(w∓1) + send(w∓1) over the W
+    columns (the flattened col-major sequence enters column w with the end
+    state of the previously-visited column). send/stot: (Bg, GC, N*W)."""
+    Bg, GC, _ = send.shape
+    totA = jnp.exp(stot)
+    # (Bg, GC, N, W) -> (Bg, W, GC*N): the scan axis must be -2
+    aT = jnp.moveaxis(totA.reshape(Bg, GC, N, W), 3, 1).reshape(Bg, W, GC * N)
+    bT = jnp.moveaxis(send.reshape(Bg, GC, N, W), 3, 1).reshape(Bg, W, GC * N)
+    from .scan import linear_scan
+
+    s_inc = linear_scan(aT, bT, reverse=rev)  # inclusive end-state per column
+    zero = jnp.zeros_like(s_inc[:, :1])
+    if rev:  # column w enters with column w+1's (inclusive) end state
+        s_init = jnp.concatenate([s_inc[:, 1:], zero], axis=1)
+    else:
+        s_init = jnp.concatenate([zero, s_inc[:, :-1]], axis=1)
+    return jnp.moveaxis(
+        s_init.reshape(Bg, W, GC, N), 1, 3).reshape(Bg, GC, N * W)
+
+
 def _seq_pair_ref(xseq, Wx, Wdt, bias, A, D, d_f: int, d_r: int):
     """jnp composition oracle for one sequence pair (no grouping).
 
@@ -240,6 +453,78 @@ def ss2d_seq_pair_g(xseq_g, Wx, Wdt, bias, A, D, G: int, pair: str):
     y = _run_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ebn, N, d_r,
                  rev=True, yin=y_f, lblk=lblk)
     return y[..., :L]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def ss2d_col_pair_g(xrow_g, Wx, Wdt, bias, A, D, G: int, H: int, W: int):
+    """Both COLUMN scan directions (cross2d dirs 1/3), transpose-free.
+
+    Consumes the same ROW-major grouped stream as the "row" pair and
+    returns row-major output, so the (Bg, GC, L) <-> (Bg, GC, W, H)
+    transpose round-trip of the naive col path disappears entirely (it
+    cost ~150 ms/serving-iter in XLA retiles, traced round 4). The column
+    recurrence runs native: the grid walks th-row slabs of the image
+    (bottom-up for dir 3) and each slab costs ONE FMA pass per row with
+    all W columns in parallel lanes — per-column scans are independent,
+    so no doubling scan is needed either.
+
+    Caller must check :func:`col_pair_supported`(H, W) and fall back to
+    transpose + ss2d_seq_pair_g(pair="col") otherwise.
+    """
+    d_f, d_r = PAIRS["col"]
+    C = Wx.shape[-1]
+    N = A.shape[-1]
+    th = _pick_col_rows(H, W)
+    assert th is not None, (
+        f"no col-scan row blocking for H={H}, W={W}; callers must check "
+        "col_pair_supported() and take the transpose path")
+    # both directions scan the SAME x, so the D*x skip terms fold into the
+    # first merging kernel — one full-width pass saved (as in the pair)
+    D2 = D.at[d_r].add(D[d_f])
+    Wx_g, Wdt_g, bias_g, A_g, D_g = _expand_weights(Wx, Wdt, bias, A, D2, G)
+    ebn = _expand_onehots(G, C, N)
+    args = (Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ebn, N)
+    y, send_f, stot_f = _run_col_dir(
+        xrow_g, *args, d_f, rev=False, H=H, W=W, th=th, phase="local",
+        use_d=False)
+    y, send_r, stot_r = _run_col_dir(
+        xrow_g, *args, d_r, rev=True, H=H, W=W, th=th, phase="local", yin=y)
+    sinit_f = _col_cross_scan(send_f, stot_f, N, W, rev=False)
+    sinit_r = _col_cross_scan(send_r, stot_r, N, W, rev=True)
+    y = _run_col_dir(xrow_g, *args, d_f, rev=False, H=H, W=W, th=th,
+                     phase="fix", sinit=sinit_f, yin=y, use_d=False)
+    return _run_col_dir(xrow_g, *args, d_r, rev=True, H=H, W=W, th=th,
+                        phase="fix", sinit=sinit_r, yin=y, use_d=False)
+
+
+def _col_vjp_fwd(xrow_g, Wx, Wdt, bias, A, D, G, H, W):
+    y = ss2d_col_pair_g(xrow_g, Wx, Wdt, bias, A, D, G, H, W)
+    return y, (xrow_g, Wx, Wdt, bias, A, D)
+
+
+def _col_vjp_bwd(G, H, W, res, g):
+    xrow_g, Wx, Wdt, bias, A, D = res
+    d_f, d_r = PAIRS["col"]
+    Bg, GC, L = xrow_g.shape
+    C = GC // G
+    # recompute through the composition on the col-major view (these two
+    # transposes run at TRAIN patch sizes only — the serving fwd is
+    # transpose-free)
+    xT = jnp.transpose(
+        xrow_g.reshape(Bg * G, C, H, W), (0, 1, 3, 2)).reshape(Bg * G, C, L)
+    gT = jnp.transpose(
+        g.reshape(Bg * G, C, H, W), (0, 1, 3, 2)).reshape(Bg * G, C, L)
+    _, vjp = jax.vjp(
+        lambda x, wx, wdt, b, a, d: _seq_pair_ref(x, wx, wdt, b, a, d, d_f, d_r),
+        xT, Wx, Wdt, bias, A, D,
+    )
+    dxT, dWx, dWdt, dbias, dA, dD = vjp(gT)
+    dx = jnp.transpose(
+        dxT.reshape(Bg * G, C, W, H), (0, 1, 3, 2)).reshape(Bg, GC, L)
+    return dx, dWx, dWdt, dbias, dA, dD
+
+
+ss2d_col_pair_g.defvjp(_col_vjp_fwd, _col_vjp_bwd)
 
 
 def _vjp_fwd(xseq_g, Wx, Wdt, bias, A, D, G, pair):

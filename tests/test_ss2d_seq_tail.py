@@ -51,6 +51,62 @@ def test_seq_pair_matches_oracle(B, C, L, R, N, G, pair):
         rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize(
+    "B,C,H,W,R,N,G",
+    [
+        (2, 24, 12, 16, 3, 1, 2),   # whole-image block (H*W <= 4096)
+        (1, 40, 40, 128, 3, 1, 1),  # multi-slab carry: th=8, nH=5
+        (2, 16, 8, 640, 3, 1, 2),   # th=2 slabs at an L0-like W
+        (2, 16, 16, 128, 4, 2, 2),  # N=2 state carry
+    ],
+)
+def test_col_pair_matches_transposed_oracle(B, C, H, W, R, N, G):
+    """Transpose-free col kernel == transpose -> col-major composition ->
+    transpose back (the path it replaces)."""
+    from bem_tpu.ops.ss2d_seq import col_pair_supported, ss2d_col_pair_g
+
+    assert col_pair_supported(H, W)
+    L = H * W
+    rng = np.random.default_rng(7)
+    Wx, Wdt, bias, A, D = make_weights(C, R, N, seed=7)
+    x = jnp.asarray(rng.standard_normal((B, C, L)), jnp.float32)
+    xg = x.reshape(B // G, G * C, L)
+    y = np.asarray(ss2d_col_pair_g(xg, Wx, Wdt, bias, A, D, G, H, W))
+    xT = jnp.transpose(x.reshape(B, C, H, W), (0, 1, 3, 2)).reshape(B, C, L)
+    yT = _seq_pair_ref(xT, Wx, Wdt, bias, A, D, 1, 3)
+    y_ref = jnp.transpose(
+        yT.reshape(B, C, W, H), (0, 1, 3, 2)).reshape(B, C, L)
+    np.testing.assert_allclose(
+        y.reshape(B, C, L), np.asarray(y_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_col_pair_grads_match_oracle():
+    from bem_tpu.ops.ss2d_seq import ss2d_col_pair_g
+
+    B, C, H, W, R, N, G = 2, 16, 8, 16, 3, 1, 2
+    L = H * W
+    rng = np.random.default_rng(9)
+    Wx, Wdt, bias, A, D = make_weights(C, R, N, seed=9)
+    xg = jnp.asarray(rng.standard_normal((B // G, G * C, L)), jnp.float32)
+
+    def loss_fused(*a):
+        return jnp.sum(
+            ss2d_col_pair_g(*a, G, H, W).astype(jnp.float32) ** 2)
+
+    def loss_ref(xgg, *w):
+        x = xgg.reshape(B, C, L)
+        xT = jnp.transpose(
+            x.reshape(B, C, H, W), (0, 1, 3, 2)).reshape(B, C, L)
+        yT = _seq_pair_ref(xT, *w, 1, 3)
+        return jnp.sum(yT.astype(jnp.float32) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(6)))(xg, Wx, Wdt, bias, A, D)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(xg, Wx, Wdt, bias, A, D)
+    for name, gf, gr in zip(["x", "Wx", "Wdt", "bias", "A", "D"], g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
 def test_seq_pair_grads_match_oracle():
     B, C, L, R, N, G = 2, 16, 96, 3, 1, 2
     rng = np.random.default_rng(3)

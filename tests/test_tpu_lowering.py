@@ -77,6 +77,28 @@ def test_seq_pair_grad_lowering(tpu_trace):
            x, Wx, Wdt, bias, A, D)
 
 
+def test_col_pair_lowering(tpu_trace):
+    """Transpose-free column pair (two-phase: local + cross-scan + fix),
+    fwd and grad, at a multi-slab shape."""
+    from bem_tpu.ops.ss2d_seq import col_pair_supported, ss2d_col_pair_g
+
+    B, C, H, W, G, N, R = 8, 40, 32, 128, 8, 1, 3
+    assert col_pair_supported(H, W)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((B // G, G * C, H * W)), jnp.bfloat16)
+    Wx = jnp.asarray(rng.random((4, R + 2 * N, C)), jnp.float32)
+    Wdt = jnp.asarray(rng.random((4, C, R)), jnp.float32)
+    bias = jnp.asarray(rng.random((4, C)), jnp.float32)
+    A = -jnp.asarray(rng.random((4, C, N)), jnp.float32)
+    D = jnp.asarray(rng.random((4, C)), jnp.float32)
+    _lower(lambda *a: ss2d_col_pair_g(*a, G, H, W), x, Wx, Wdt, bias, A, D)
+
+    xf = jnp.asarray(rng.random((B // G, G * C, H * W)), jnp.float32)
+    _lower(jax.grad(lambda *a: jnp.sum(
+        ss2d_col_pair_g(*a, G, H, W).astype(jnp.float32)),
+        argnums=(0, 1, 2, 3, 4, 5)), xf, Wx, Wdt, bias, A, D)
+
+
 def test_linear_scan_reverse_lowering(tpu_trace):
     """Native reverse walk of the pallas linear scan (fwd+bwd), incl. the
     narrow-lane (D<128, no pad) block path."""
