@@ -37,9 +37,10 @@ def _gelu_exact(x):
     """Exact (erf) GELU, Mosaic-lowerable.
 
     Mosaic has no erf/erfc primitive (KernelType.TC lowering raises), so on
-    the compiled path erf comes from Abramowitz & Stegun 7.1.26 (rational in
-    1/(1+p|z|) times exp(-z^2), max abs error 1.5e-7) — two decades below the
-    kernels' 2e-4 parity tolerance and far below bf16 serving noise. The
+    the compiled path erf comes from Abramowitz & Stegun 7.1.25 (3-term
+    rational in 1/(1+p|z|) times exp(-z^2), max abs error 2.5e-5) — a decade
+    below the kernels' 2e-4 parity tolerance and far below bf16 serving
+    noise; two VPU passes cheaper than the 5-term 7.1.26 used before. The
     interpret path keeps jax.nn.gelu so CPU goldens compare true erf.
     NOT the tanh approximation (a real framework-parity bug in round 2).
     """
@@ -47,12 +48,10 @@ def _gelu_exact(x):
         return jax.nn.gelu(x, approximate=False)
     z = x * np.float32(2.0 ** -0.5)
     az = jnp.abs(z)
-    t = 1.0 / (1.0 + np.float32(0.3275911) * az)
-    poly = t * (np.float32(0.254829592)
-                + t * (np.float32(-0.284496736)
-                       + t * (np.float32(1.421413741)
-                              + t * (np.float32(-1.453152027)
-                                     + t * np.float32(1.061405429)))))
+    t = 1.0 / (1.0 + np.float32(0.47047) * az)
+    poly = t * (np.float32(0.3480242)
+                + t * (np.float32(-0.0958798)
+                       + t * np.float32(0.7478556)))
     erf_az = 1.0 - poly * jnp.exp(-az * az)
     erf_z = jnp.sign(z) * erf_az
     return 0.5 * x * (1.0 + erf_z)
@@ -100,8 +99,37 @@ def fused_rows_ok(H: int, W: int) -> bool:
     return _pick_rows(H, W) is not None
 
 
+def _fold_w1_taps(W1, dw, b1):
+    """Fold the depthwise-3x3 taps (and b1) into the 1x1-in kernel.
+
+    Returns (3, 2h, 3C+3): for each dx, a tap-scaled copy of W1 per dy
+    (contraction rows ordered [dy=-1 | dy=0 | dy=+1]) plus three bias
+    columns tap[dy,dx]*b1 that contract against row-validity rows, so the
+    bias lands exactly where the old hid + b1*rowmask path put it."""
+    h2, C = W1.shape
+    taps = dw.astype(jnp.float32).reshape(h2, 3, 3)  # [o, dy, dx]
+    if b1 is None:
+        bcol = jnp.zeros((h2, 1), jnp.float32)
+    else:
+        bcol = b1.astype(jnp.float32)[:, None]
+    Wb = jnp.concatenate([W1.astype(jnp.float32), bcol], axis=1)  # (2h, C+1)
+    W1f = jnp.einsum("od,oyx->xoyd", Wb, taps)
+    return W1f.reshape(3, h2, 3 * (C + 1))
+
+
+def use_folded_conv(C: int) -> bool:
+    """Whether the W1-folded dwconv beats the VPU tap loop at channel
+    count C. MEASURED on v5e (round 4): at C=80 (K=3(C+1)=243) the folded
+    form wins 25.5 -> 17.7 ms/L1-call (-31%); at C=40 (K=123) it LOSES
+    29.1 -> 33.1 ms/L0-call — the contraction is too underfilled to beat
+    the tap loop it replaces."""
+    return C >= 64
+
+
 def _dw3x3_taps(hid, dw, maskl, maskr, k: int, W: int):
-    """Depthwise 3x3 over a (2h, (k+2)*W) hidden row-window.
+    """Depthwise 3x3 over a (2h, (k+2)*W) hidden row-window (VPU form,
+    used at narrow C where the W1-folded MXU form loses — see
+    use_folded_conv).
 
     Nine static lane-slices of a 128-zero-padded window, grouped by dx for
     the edge masks. MEASURED dead ends (round 4): (a) hoisting the dx = ±1
@@ -128,16 +156,77 @@ def _dw3x3_taps(hid, dw, maskl, maskr, k: int, W: int):
     return conv
 
 
-def _body(*refs, h: int, W: int, k: int, H: int, nblk: int, has_b1: bool,
-          has_bdw: bool, has_b2: bool, dot_mode: str, has_ln: bool,
-          residual: bool):
+def _proj_dw_taps(x32m, rowmask, w1, b1, dw, maskl, maskr, k, W, dot_mode):
+    """hid = W1 @ x (+ b1·rowmask) then the VPU tap loop."""
+    if dot_mode == "tpu_bf16":
+        hid = jnp.dot(w1[...], x32m.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    else:
+        hid = jnp.dot(w1[...].astype(jnp.float32), x32m,
+                      preferred_element_type=jnp.float32)
+    if b1 is not None:
+        hid = hid + b1[...] * rowmask
+    return _dw3x3_taps(hid, dw, maskl, maskr, k, W)
+
+
+def _conv3x3_dots(x32m, rowmask, w1f, maskl, maskr, k: int, W: int,
+                  dot_mode: str, xw_scratch=None):
+    """1x1-in proj + depthwise 3x3 as THREE MXU dots (W1-folded form).
+
+    The tap form materializes hid = W1 @ x and runs a 9-tap VPU
+    slice loop over the (2h, (k+2)W) hidden — ~20 VPU passes that
+    dominated the fused-MLP kernel (traced round 4) while the MXU sat
+    ~85% idle. Folding the taps into W1 (conv = Σ_dx maskdx ⊙
+    (W1f[dx] @ xwin3_shifted_dx), xwin3 = the three dy-shifted windows
+    stacked to 3C rows + 3 row-validity rows carrying b1) converts those
+    passes into extra dot work on the idle MXU — a win only at C >= 64
+    where the 3(C+1) contraction fills the MXU (see use_folded_conv)."""
+    C = x32m.shape[0]
+    kW = k * W
+    z = jnp.zeros((C + 1, 128), jnp.float32)
+    xpad = jnp.concatenate(
+        [z, jnp.concatenate([x32m, rowmask], axis=0), z], axis=1)
+    # stage the three dy-shifted windows through a VMEM scratch: stores
+    # relayout their misaligned-slice values, while Mosaic's sublane concat
+    # rejects pieces with mismatched lane/sublane offsets ("result/input
+    # offset mismatch on non-concat dimension" — compile-time, W-dependent)
+    for idx, dy in enumerate((-1, 0, 1)):
+        s = 128 + (1 + dy) * W - 1
+        xw_scratch[idx * (C + 1) : (idx + 1) * (C + 1), :] = (
+            xpad[:, s : s + kW + 2])
+    xwin3 = xw_scratch[...]  # (3(C+1), kW+2)
+    if dot_mode == "tpu_bf16":
+        xwin3 = xwin3.astype(jnp.bfloat16)
+    conv = None
+    for j, dx in enumerate((-1, 0, 1)):
+        wj = w1f[j]
+        if dot_mode != "tpu_bf16":
+            wj = wj.astype(jnp.float32)
+        # full-width dot on the aligned window; the dx shift is a lane
+        # slice of the dot OUTPUT (the lowering class the old tap loop used)
+        t = jnp.dot(wj, xwin3, preferred_element_type=jnp.float32)
+        t = t[:, 1 + dx : 1 + dx + kW]
+        if dx == -1:
+            t = t * maskl[...]
+        elif dx == 1:
+            t = t * maskr[...]
+        conv = t if conv is None else conv + t
+    return conv
+
+
+def _body(*refs, h: int, W: int, k: int, H: int, nblk: int, folded: bool,
+          has_b1: bool, has_bdw: bool, has_b2: bool, dot_mode: str,
+          has_ln: bool, residual: bool):
     it = iter(refs)
     xp_ref, xc_ref, xn_ref = next(it), next(it), next(it)
     lns = next(it) if has_ln else None
     lnb = next(it) if has_ln else None
-    w1 = next(it)
-    b1 = next(it) if has_b1 else None
-    dw = next(it)
+    if folded:
+        w1f = next(it)   # (3, 2h, 3(C+1)) tap-folded in-kernel (+b1 cols)
+    else:
+        w1 = next(it)
+        b1 = next(it) if has_b1 else None
+        dw = next(it)
     bdw = next(it) if has_bdw else None
     w2 = next(it)
     b2 = next(it) if has_b2 else None
@@ -145,6 +234,7 @@ def _body(*refs, h: int, W: int, k: int, H: int, nblk: int, has_b1: bool,
     maskl = next(it)     # (1, k*W): 0 where col == 0
     maskr = next(it)     # (1, k*W): 0 where col == W-1
     out_ref = next(it)
+    xw_scratch = next(it) if folded else None
 
     i = pl.program_id(1)
 
@@ -160,16 +250,13 @@ def _body(*refs, h: int, W: int, k: int, H: int, nblk: int, has_b1: bool,
     if has_ln:
         x32 = _win_ln(x32, lns, lnb, dot_mode)
     x32 = x32 * rowmask
-    if dot_mode == "tpu_bf16":
-        hid = jnp.dot(w1[...], x32.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-    else:
-        hid = jnp.dot(w1[...].astype(jnp.float32), x32,
-                      preferred_element_type=jnp.float32)
-    if has_b1:
-        hid = hid + b1[...] * rowmask
 
-    conv = _dw3x3_taps(hid, dw, maskl, maskr, k, W)
+    if folded:
+        conv = _conv3x3_dots(x32, rowmask, w1f, maskl, maskr, k, W,
+                             dot_mode, xw_scratch)
+    else:
+        conv = _proj_dw_taps(x32, rowmask, w1, b1, dw, maskl, maskr, k, W,
+                             dot_mode)
     if has_bdw:
         conv = conv + bdw[...]
 
@@ -293,23 +380,29 @@ def gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H: int, Wd: int,
     const = lambda arr: pl.BlockSpec(
         arr.shape, lambda b, i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
-    w1 = W1.astype(wdt)
+    folded = use_folded_conv(C)
     w2 = W2.astype(wdt)
-    dwf = dw.astype(jnp.float32)
     operands = [x, x, x]
     in_specs = [xspec_p, xspec_c, xspec_n]
     if lns is not None:
         operands += [lns.astype(jnp.float32).reshape(C, 1),
                      lnb.astype(jnp.float32).reshape(C, 1)]
         in_specs += [const(operands[-2]), const(operands[-1])]
-    operands.append(w1)
-    in_specs.append(const(w1))
-    if b1 is not None:
-        b1f = b1.astype(jnp.float32).reshape(h2, 1)
-        operands.append(b1f)
-        in_specs.append(const(b1f))
-    operands.append(dwf)
-    in_specs.append(const(dwf))
+    if folded:
+        w1f = _fold_w1_taps(W1, dw, b1).astype(wdt)
+        operands.append(w1f)
+        in_specs.append(const(w1f))
+    else:
+        w1 = W1.astype(wdt)
+        operands.append(w1)
+        in_specs.append(const(w1))
+        if b1 is not None:
+            b1f = b1.astype(jnp.float32).reshape(h2, 1)
+            operands.append(b1f)
+            in_specs.append(const(b1f))
+        dwf = dw.astype(jnp.float32)
+        operands.append(dwf)
+        in_specs.append(const(dwf))
     if bdw is not None:
         bdwf = bdw.astype(jnp.float32).reshape(h2, 1)
         operands.append(bdwf)
@@ -324,7 +417,7 @@ def gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H: int, Wd: int,
     in_specs += [const(lrow), const(maskl), const(maskr)]
 
     kernel = functools.partial(
-        _body, h=h, W=Wd, k=k, H=H, nblk=nblk,
+        _body, h=h, W=Wd, k=k, H=H, nblk=nblk, folded=folded,
         has_b1=b1 is not None, has_bdw=bdw is not None,
         has_b2=b2 is not None, dot_mode=dot_mode,
         has_ln=lns is not None, residual=residual)
@@ -335,26 +428,33 @@ def gdmlp_fused_cf(x, W1, b1, dw, bdw, W2, b2, H: int, Wd: int,
             in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((B, Cout, L), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((3 * (C + 1), k * Wd + 2), jnp.float32)]
+            if folded else [],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=not on_tpu,
         )(*operands)
 
 
-def _stem_body(*refs, W: int, k: int, H: int, has_b1: bool, has_bdw: bool,
-               dot_mode: str, has_ln: bool):
+def _stem_body(*refs, W: int, k: int, H: int, folded: bool, has_b1: bool,
+               has_bdw: bool, dot_mode: str, has_ln: bool):
     it = iter(refs)
     xp_ref, xc_ref, xn_ref = next(it), next(it), next(it)
     lns = next(it) if has_ln else None
     lnb = next(it) if has_ln else None
-    w1 = next(it)
-    b1 = next(it) if has_b1 else None
-    dw = next(it)
+    if folded:
+        w1f = next(it)
+    else:
+        w1 = next(it)
+        b1 = next(it) if has_b1 else None
+        dw = next(it)
     bdw = next(it) if has_bdw else None
     lrow = next(it)
     maskl = next(it)
     maskr = next(it)
     out_ref = next(it)
+    xw_scratch = next(it) if folded else None
 
     i = pl.program_id(1)
     xin = jnp.concatenate(
@@ -366,15 +466,12 @@ def _stem_body(*refs, W: int, k: int, H: int, has_b1: bool, has_bdw: bool,
     if has_ln:
         x32 = _win_ln(x32, lns, lnb, dot_mode)
     x32 = x32 * rowmask
-    if dot_mode == "tpu_bf16":
-        hid = jnp.dot(w1[...], x32.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+    if folded:
+        conv = _conv3x3_dots(x32, rowmask, w1f, maskl, maskr, k, W,
+                             dot_mode, xw_scratch)
     else:
-        hid = jnp.dot(w1[...].astype(jnp.float32), x32,
-                      preferred_element_type=jnp.float32)
-    if has_b1:
-        hid = hid + b1[...] * rowmask
-    conv = _dw3x3_taps(hid, dw, maskl, maskr, k, W)
+        conv = _proj_dw_taps(x32, rowmask, w1, b1, dw, maskl, maskr, k, W,
+                             dot_mode)
     if has_bdw:
         conv = conv + bdw[...]
     out_ref[0] = (conv * jax.nn.sigmoid(conv)).astype(out_ref.dtype)
@@ -442,13 +539,15 @@ def stem_fused_cf(x, W1, b1, dw, bdw, H: int, Wd: int, lns=None, lnb=None):
     else:
         dot_mode = "f32"
         wdt = jnp.float32
+    folded = use_folded_conv(C)
     if dot_mode == "interp_bf16":
         # interpret backend can't run bf16 dots; pre-round the weight and
         # dot in f32 (x is already bf16-precision)
         dot_mode = "f32"
-        w1 = W1.astype(jnp.bfloat16).astype(jnp.float32)
+        w1q = W1.astype(jnp.bfloat16).astype(jnp.float32)
     else:
-        w1 = W1.astype(wdt)
+        w1q = W1.astype(wdt)
+    w1f = _fold_w1_taps(w1q, dw, b1).astype(w1q.dtype) if folded else None
 
     last = nblk - 1
     xspec_p = pl.BlockSpec((1, C, k * Wd),
@@ -464,21 +563,25 @@ def stem_fused_cf(x, W1, b1, dw, bdw, H: int, Wd: int, lns=None, lnb=None):
     const = lambda arr: pl.BlockSpec(
         arr.shape, lambda b, i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
-    dwf = dw.astype(jnp.float32)
     operands = [x, x, x]
     in_specs = [xspec_p, xspec_c, xspec_n]
     if lns is not None:
         operands += [lns.astype(jnp.float32).reshape(C, 1),
                      lnb.astype(jnp.float32).reshape(C, 1)]
         in_specs += [const(operands[-2]), const(operands[-1])]
-    operands.append(w1)
-    in_specs.append(const(w1))
-    if b1 is not None:
-        b1f = b1.astype(jnp.float32).reshape(Dh, 1)
-        operands.append(b1f)
-        in_specs.append(const(b1f))
-    operands.append(dwf)
-    in_specs.append(const(dwf))
+    if folded:
+        operands.append(w1f)
+        in_specs.append(const(w1f))
+    else:
+        operands.append(w1q)
+        in_specs.append(const(w1q))
+        if b1 is not None:
+            b1f = b1.astype(jnp.float32).reshape(Dh, 1)
+            operands.append(b1f)
+            in_specs.append(const(b1f))
+        dwf = dw.astype(jnp.float32)
+        operands.append(dwf)
+        in_specs.append(const(dwf))
     if bdw is not None:
         bdwf = bdw.astype(jnp.float32).reshape(Dh, 1)
         operands.append(bdwf)
@@ -487,7 +590,7 @@ def stem_fused_cf(x, W1, b1, dw, bdw, H: int, Wd: int, lns=None, lnb=None):
     in_specs += [const(lrow), const(maskl), const(maskr)]
 
     kernel = functools.partial(
-        _stem_body, W=Wd, k=k, H=H,
+        _stem_body, W=Wd, k=k, H=H, folded=folded,
         has_b1=b1 is not None, has_bdw=bdw is not None, dot_mode=dot_mode,
         has_ln=lns is not None)
     with mm_precision(x.dtype):
@@ -497,6 +600,9 @@ def stem_fused_cf(x, W1, b1, dw, bdw, H: int, Wd: int, lns=None, lnb=None):
             in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((B, Dh, L), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((3 * (C + 1), k * Wd + 2), jnp.float32)]
+            if folded else [],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=not on_tpu,

@@ -129,10 +129,11 @@ def test_tail_lowering(tpu_trace):
     _lower(lambda *a: ss2d_tail_cf(*a, G, res), y1, y2, sc, bi, W, None)
 
 
-def test_gdmlp_and_stem_lowering(tpu_trace):
+@pytest.mark.parametrize("C", [40, 80])  # 40 = VPU tap loop, 80 = W1-folded
+def test_gdmlp_and_stem_lowering(tpu_trace, C):
     from bem_tpu.ops.gdmlp_fused import gdmlp_fused_cf, stem_fused_cf
 
-    B, C, H, W = 2, 40, 32, 32
+    B, H, W = 2, 32, 32
     h2 = 2 * C * 2
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.random((B, C, H * W)), jnp.bfloat16)
