@@ -7,6 +7,7 @@ deconv_up:85, DualUpSample:97, LN2DLinear:158). Channels-last.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -16,6 +17,7 @@ from flax import linen as nn
 from ..nn import init as inits
 from ..nn.layers import (
     Conv2d,
+    Conv2dParams,
     ConvTranspose2d,
     LayerNorm2d,
     PReLU,
@@ -94,6 +96,20 @@ class DeconvUp(nn.Module):
                                data_format=self.layout, name="deconv")(x)
 
 
+def _fold_dual_upsample(dtype) -> bool:
+    """Whether DualUpSample takes the algebraically-folded serving form.
+
+    Default: only on the bf16 stream (serving/bench), where the fp32
+    weight-fold reassociation is far below activation rounding. fp32 paths
+    (CPU goldens vs the torch oracle at ~1e-6) keep the reference op order.
+    Override with BEM_FUSED_UPSAMPLE={0,1}.
+    """
+    env = os.environ.get("BEM_FUSED_UPSAMPLE")
+    if env is not None:
+        return env != "0"
+    return dtype == jnp.bfloat16
+
+
 class DualUpSample(nn.Module):
     """Dual pixel-shuffle + bilinear upsample path (UNet_arch.py:97-155)."""
 
@@ -102,7 +118,11 @@ class DualUpSample(nn.Module):
     layout: str = "NHWC"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold_tail=None):
+        """fold_tail: optional (c/2, d) matrix composed onto the output —
+        the caller-side half of a following 1x1 conv (SubNetwork's
+        ``fusion_i``), folded to quarter resolution with everything else.
+        Only valid on the folded path."""
         c = self.in_channels
         f = self.scale_factor
         cf = self.layout == "NCHW"
@@ -116,6 +136,48 @@ class DualUpSample(nn.Module):
             return resize_bilinear(t, scale=2.0)
 
         kw = dict(data_format=self.layout)
+        if f == 2 and _fold_dual_upsample(x.dtype):
+            # Algebraically folded serving form (identical parameters).
+            # Everything after the PReLUs is LINEAR, and both upsamplings
+            # commute with 1x1 convs: W2p(PS(p)) = PS(M p) with M the
+            # PixelShuffle block-expansion of W2p, and W2b(bilin(b)) =
+            # bilin(W2b b). Folding up_p_conv2/up_b_conv2/conv down to
+            # QUARTER resolution removes three full-resolution HBM passes
+            # per decoder level (traced at ~25 ms/iter on the L1->L0 level
+            # of the serving pipeline); full-res work left: one shuffle
+            # relayout + one bilinear + one add.
+            p = Conv2d(2 * c, 1, padding=0, use_bias=False,
+                       name="up_p_conv1", **kw)(x)
+            p = PReLU(name="up_p_prelu")(p)
+            b = Conv2d(c, 1, padding=0, name="up_b_conv1", **kw)(x)
+            b = PReLU(name="up_b_prelu")(b)
+            kp2, _ = Conv2dParams(c // 2, c // 2, 1, use_bias=False,
+                                  name="up_p_conv2")()
+            kb2, _ = Conv2dParams(c, c // 2, 1, use_bias=False,
+                                  name="up_b_conv2")()
+            kc, _ = Conv2dParams(c, c // 2, 1, use_bias=False, name="conv")()
+            kp2 = kp2[0, 0].astype(jnp.float32)   # (c/2 in, c/2 out)
+            kb2 = kb2[0, 0].astype(jnp.float32)   # (c, c/2)
+            kc = kc[0, 0].astype(jnp.float32)     # (c, c/2): [xp | xb] rows
+            a_p = kp2 @ kc[: c // 2]              # PS-path fold
+            a_b = kb2 @ kc[c // 2:]               # bilinear-path fold
+            if fold_tail is not None:
+                ft = fold_tail.astype(jnp.float32)
+                a_p = a_p @ ft
+                a_b = a_b @ ft
+            # expand a_p through PixelShuffle's (i, dy, dx) channel order:
+            # q[..., o*4 + j] = sum_i a_p[i, o] * p[..., i*4 + j]
+            eye4 = jnp.eye(4, dtype=jnp.float32)
+            m = (a_p[:, None, :, None] * eye4[None, :, None, :]
+                 ).reshape(2 * c, 2 * c)
+            dt = x.dtype
+            spec = "bchw,cd->bdhw" if cf else "bhwc,cd->bhwd"
+            q = jnp.einsum(spec, p, m.astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+            v = jnp.einsum(spec, b, a_b.astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+            return shuffle(q, 2) + upsample2(v)
+        assert fold_tail is None, "fold_tail requires the folded path"
         if f == 2:
             # pixel-shuffle path
             xp = Conv2d(2 * c, 1, padding=0, use_bias=False, name="up_p_conv1", **kw)(x)

@@ -19,10 +19,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn import init as inits
-from ..nn.layers import Conv2d, DropPath
+from ..nn.layers import Conv2d, Conv2dParams, DropPath
 from ..nn.vss import VSSBlock
 from ..utils.registry import ARCH_REGISTRY
-from .arch_util import ConvDown, DeconvUp, DualUpSample, PatchMerging, SAM
+from .arch_util import (
+    ConvDown,
+    DeconvUp,
+    DualUpSample,
+    PatchMerging,
+    SAM,
+    _fold_dual_upsample,
+)
 
 
 class BasicBlock(nn.Module):
@@ -156,15 +163,35 @@ class SubNetwork(nn.Module):
         )(fea)
 
         for i in range(level):
-            if self.use_pixelshuffle:
-                fea = DualUpSample(curr_dim, scale_factor=2, layout=self.layout,
-                                   name=f"up_{i}")(fea)
+            skip = skips[level - 1 - i]
+            if self.use_pixelshuffle and _fold_dual_upsample(fea.dtype):
+                # folded serving form: the fusion conv's two halves fold
+                # into DualUpSample's quarter-res tail (up half) and a
+                # skip-side 1x1 that XLA fuses into the output add chain —
+                # the full-res concat+conv disappears (same params)
+                kf, _ = Conv2dParams(
+                    curr_dim, curr_dim // 2, 1, use_bias=False,
+                    name=f"fusion_{i}")()
+                kf = kf[0, 0]
+                up = DualUpSample(curr_dim, scale_factor=2, layout=self.layout,
+                                  name=f"up_{i}")(
+                    fea, fold_tail=kf[: curr_dim // 2])
+                spec = ("bchw,cd->bdhw" if self.layout == "NCHW"
+                        else "bhwc,cd->bhwd")
+                fea = up + jnp.einsum(
+                    spec, skip, kf[curr_dim // 2:].astype(fea.dtype),
+                    preferred_element_type=jnp.float32).astype(fea.dtype)
             else:
-                fea = DeconvUp(curr_dim, layout=self.layout, name=f"up_{i}")(fea)
-            fea = Conv2d(curr_dim // 2, 1, padding=0, use_bias=False,
-                         data_format=self.layout, name=f"fusion_{i}")(
-                jnp.concatenate([fea, skips[level - 1 - i]], axis=ch_axis)
-            )
+                if self.use_pixelshuffle:
+                    fea = DualUpSample(curr_dim, scale_factor=2,
+                                       layout=self.layout, name=f"up_{i}")(fea)
+                else:
+                    fea = DeconvUp(curr_dim, layout=self.layout,
+                                   name=f"up_{i}")(fea)
+                fea = Conv2d(curr_dim // 2, 1, padding=0, use_bias=False,
+                             data_format=self.layout, name=f"fusion_{i}")(
+                    jnp.concatenate([fea, skip], axis=ch_axis)
+                )
             fea = BasicBlock(
                 dim=curr_dim // 2, num_blocks=self.num_blocks[level - 1 - i],
                 d_state=d_state[level - 1 - i], name=f"dec_{i}", **common,

@@ -41,7 +41,10 @@ def classify(name: str) -> str:
     head = name.split(" = ", 1)
     key = head[0]
     if len(head) > 1:
-        m = re.search(r"\}\s*([a-z0-9-]+)\(", head[1])
+        # opcode follows the result type: "...{layout} opcode(" for arrays,
+        # "(..., ...)) opcode(" for tuple-returning ops (pallas multi-output
+        # kernels) — the old \} -only form misfiled those into "other"
+        m = re.search(r"[\})]\s*([a-z0-9-]+)\(", head[1])
         if m:
             key += " " + m.group(1)
     for label, pat in BUCKETS:
