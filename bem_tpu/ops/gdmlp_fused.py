@@ -131,29 +131,35 @@ def _dw3x3_taps(hid, dw, maskl, maskr, k: int, W: int):
     used at narrow C where the W1-folded MXU form loses — see
     use_folded_conv).
 
-    Nine static lane-slices of a 128-zero-padded window, grouped by dx for
-    the edge masks. MEASURED dead ends (round 4): (a) hoisting the dx = ±1
-    taps into two pltpu.roll's of the whole window is 35% SLOWER (L0 serving
-    29 -> 39 ms/call) — Mosaic lowers static circular rolls far worse than
+    The dy taps for a fixed dx share one lane offset, so the nine input
+    loads reduce to THREE lane-aligned row slices (dy offsets are multiples
+    of W, a lane multiple at serving widths) reused across dx; the dx = ±1
+    shift is applied ONCE per side to the accumulated t_dx instead of to
+    six lane-rotated input loads. Values are bit-identical to the old
+    nine-slice form: the positions whose shifted source crosses a row
+    boundary (or the block edge) are exactly the maskl/maskr zeros.
+    MEASURED dead ends (round 4): (a) hoisting the dx = ±1 taps into two
+    pltpu.roll's of the whole window is 35% SLOWER (L0 serving 29 -> 39
+    ms/call) — Mosaic lowers static circular rolls far worse than
     misaligned slices; (b) running the tap arithmetic in bf16 is 15% SLOWER
     (70.5 vs 61.4 ms/L0-call) — Mosaic's bf16 vector ops don't pack 2/lane
-    here and the cast passes dominate. The fp32 padded-slice form stands."""
-    hid = jnp.concatenate(
-        [jnp.zeros((hid.shape[0], 128), jnp.float32), hid,
-         jnp.zeros((hid.shape[0], 128), jnp.float32)], axis=1)
-    conv = jnp.zeros((hid.shape[0], k * W), jnp.float32)
+    here and the cast passes dominate. fp32 stands."""
+    kW = k * W
+    ts = []
     for dx in (-1, 0, 1):
-        acc = jnp.zeros_like(conv)
+        acc = None
         for dy in (-1, 0, 1):
             tap = dw[:, 3 * (dy + 1) + (dx + 1)][:, None]
-            s = 128 + (1 + dy) * W + dx
-            acc = acc + tap * hid[:, s : s + k * W]
-        if dx == -1:
-            acc = acc * maskl[...]
-        elif dx == 1:
-            acc = acc * maskr[...]
-        conv = conv + acc
-    return conv
+            term = tap * hid[:, (1 + dy) * W : (1 + dy) * W + kW]
+            acc = term if acc is None else acc + term
+        ts.append(acc)
+    tm, t0, tp = ts
+    z = jnp.zeros((hid.shape[0], 128), jnp.float32)
+    tm = jnp.concatenate([z, tm], axis=1)    # shift right: conv[p] = tm[p-1]
+    tp = jnp.concatenate([tp, z], axis=1)    # shift left:  conv[p] = tp[p+1]
+    return (t0
+            + tm[:, 127 : 127 + kW] * maskl[...]
+            + tp[:, 1 : 1 + kW] * maskr[...])
 
 
 def _proj_dw_taps(x32m, rowmask, w1, b1, dw, maskl, maskr, k, W, dot_mode):

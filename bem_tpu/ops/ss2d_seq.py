@@ -183,7 +183,8 @@ def col_pair_supported(H: int, W: int) -> bool:
 
 
 def _col_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
-              phase: str, th: int, W: int, use_d: bool = True):
+              phase: str, th: int, W: int, use_d: bool = True,
+              fixco: bool = False):
     """Column-direction kernel body over th-row slabs of the row-major
     stream. The per-COLUMN recurrences are lane-parallel (one FMA pass per
     image row), but the flattened col-major sequence also carries state
@@ -210,7 +211,10 @@ def _col_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
     i += int(merge)
     if phase == "local":
         y_ref, send_ref, stot_ref = refs[i], refs[i + 1], refs[i + 2]
-        h_ref, s_ref = refs[i + 3], refs[i + 4]
+        i += 3
+        fix_ref = refs[i] if fixco else None
+        i += int(fixco)
+        h_ref, s_ref = refs[i], refs[i + 1]
     else:
         y_ref = refs[i]
         c_ref = refs[i + 1]  # running inclusive log-decay sum (GC, N*W)
