@@ -68,6 +68,26 @@ def kaiming_normal(mode="fan_in", nonlinearity="leaky_relu", a=0.0):
     return init
 
 
+def kaiming_uniform(mode="fan_in", nonlinearity="relu", a=0.0):
+    """torch.nn.init.kaiming_uniform_ equivalent for HWIO kernels."""
+    if nonlinearity == "relu":
+        gain = math.sqrt(2.0)
+    elif nonlinearity == "leaky_relu":
+        gain = math.sqrt(2.0 / (1 + a**2))
+    elif nonlinearity == "linear":
+        gain = 1.0
+    else:
+        raise ValueError(nonlinearity)
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = _conv_fans(shape)
+        fan = fan_in if mode == "fan_in" else fan_out
+        bound = gain * math.sqrt(3.0 / fan)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def trunc_normal(std=0.02, mean=0.0, a=-2.0, b=2.0):
     """trunc_normal_ (timm semantics: a/b are absolute bounds)."""
 

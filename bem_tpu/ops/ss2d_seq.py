@@ -183,8 +183,7 @@ def col_pair_supported(H: int, W: int) -> bool:
 
 
 def _col_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
-              phase: str, th: int, W: int, use_d: bool = True,
-              fixco: bool = False):
+              phase: str, th: int, W: int, use_d: bool = True):
     """Column-direction kernel body over th-row slabs of the row-major
     stream. The per-COLUMN recurrences are lane-parallel (one FMA pass per
     image row), but the flattened col-major sequence also carries state
@@ -212,8 +211,6 @@ def _col_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
     if phase == "local":
         y_ref, send_ref, stot_ref = refs[i], refs[i + 1], refs[i + 2]
         i += 3
-        fix_ref = refs[i] if fixco else None
-        i += int(fixco)
         h_ref, s_ref = refs[i], refs[i + 1]
     else:
         y_ref = refs[i]
