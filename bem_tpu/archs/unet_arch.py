@@ -229,6 +229,13 @@ class Network(nn.Module):
     # HBM for narrow channel counts); the public API stays NHWC.
     block_layout: Optional[str] = None  # run VSSBlock sequences in this
     # layout while the U-Net plumbing stays in `layout` (BasicBlock docs)
+    stream_cf: Optional[bool] = None  # run the WHOLE SubNetwork stream
+    # (blocks + PatchMerging/DualUpSample/fusion seams) channel-first with
+    # ONE transpose pair at full resolution, while first_conv/proj keep the
+    # NHWC layout XLA prefers for 3x3 convs. None = auto: on the pallas
+    # (TPU) backend, where the CF block interiors are already the fast path
+    # and the old per-BasicBlock NHWC round-trips + NHWC seam relayouts cost
+    # ~60 ms/serving-iter (traced round 5). Opt out with BEM_STREAM_CF=0.
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -261,8 +268,22 @@ class Network(nn.Module):
         proj = Conv2d(self.out_channels, 3, padding=1, use_bias=True,
                       bias_init=inits.zeros, data_format=self.layout,
                       name="proj")
+
+        stream_cf = self.stream_cf
+        if stream_cf is None:
+            from ..ops.scan import default_backend
+
+            stream_cf = (
+                self.layout == "NHWC" and not self.sam
+                and self.mlp_type == "gdmlp"
+                and (self.scan_backend or default_backend()) == "pallas"
+                and os.environ.get("BEM_STREAM_CF", "1") != "0")
+        sub_layout = "NCHW" if (stream_cf and self.layout == "NHWC") \
+            else self.layout
         out = None
         for i in range(self.stage):
+            if sub_layout != self.layout:
+                fea = jnp.transpose(fea, (0, 3, 1, 2))
             fea = SubNetwork(
                 dim=self.n_feat,
                 num_blocks=self.num_blocks,
@@ -276,10 +297,12 @@ class Network(nn.Module):
                 bayesian=self.bayesian,
                 sigma_init=self.sigma_init,
                 scan_backend=self.scan_backend,
-                layout=self.layout,
+                layout=sub_layout,
                 block_layout=self.block_layout,
                 name=f"subnets_{i}",
             )(fea)
+            if sub_layout != self.layout:
+                fea = jnp.transpose(fea, (0, 2, 3, 1))
             out = proj(fea)
             if cf:
                 out = jnp.transpose(out, (0, 2, 3, 1))

@@ -336,9 +336,13 @@ class SS2D(nn.Module):
                 # transpose-free column pair: the col kernel walks th-row
                 # slabs of the ROW-major stream with per-column lane-parallel
                 # recurrences — no (L) <-> (W, H) retile round-trip (the
-                # transpose chain cost ~150 ms/serving-iter, traced round 4)
-                y_colT = ss2d_col_pair_g(row, x_proj_weight, dt_projs_weight,
-                                         dt_projs_bias, A4, D4, G, H, W)
+                # transpose chain cost ~150 ms/serving-iter, traced round 4).
+                # y_row rides in as the col pair's merge input, so the tail
+                # consumes ONE merged stream (one fewer full-size read).
+                y_merged = ss2d_col_pair_g(row, x_proj_weight,
+                                           dt_projs_weight, dt_projs_bias,
+                                           A4, D4, y_row, G, H, W)
+                y_row, y_colT = y_merged, None
             else:
                 # group-preserving column transpose fallback: the L index is
                 # independent of the (B, G·C) sublane packing, so transposing

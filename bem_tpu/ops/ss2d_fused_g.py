@@ -76,18 +76,26 @@ def _seg_scan_add(w, b, reverse: bool):
     48.63 ms/pair-call) — the roll form stays.
     """
     col = jax.lax.broadcasted_iota(jnp.int32, (1, w.shape[1]), 1) % SEG_ADD
+    # float keep-masks: the doubling update becomes ONE fma
+    # (y += y_sh * maskf) instead of select + add — 2 passes per doubling
+    # instead of 3. The (1, LBLK) mask rows broadcast over sublanes and are
+    # computed once per kernel call.
+    maskf = {}
+    s = 1
+    while s < SEG_ADD:
+        if reverse:
+            keep = col < SEG_ADD - s
+        else:
+            keep = col >= s
+        maskf[s] = keep.astype(jnp.float32)
+        s *= 2
 
     def cumsum_seg(x):
         s = 1
         y = x
         while s < SEG_ADD:
-            if reverse:
-                mask = col >= SEG_ADD - s
-                y_sh = _roll(y, -s)
-            else:
-                mask = col < s
-                y_sh = _roll(y, s)
-            y = y + jnp.where(mask, 0.0, y_sh)
+            y_sh = _roll(y, -s if reverse else s)
+            y = y + y_sh * maskf[s]
             s *= 2
         return y
 

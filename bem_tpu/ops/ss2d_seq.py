@@ -182,88 +182,126 @@ def col_pair_supported(H: int, W: int) -> bool:
     return _pick_col_rows(H, W) is not None
 
 
-def _col_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
-              phase: str, th: int, W: int, use_d: bool = True):
-    """Column-direction kernel body over th-row slabs of the row-major
-    stream. The per-COLUMN recurrences are lane-parallel (one FMA pass per
-    image row), but the flattened col-major sequence also carries state
-    ACROSS columns (bottom of column w feeds the top of column w+1), so the
-    scan splits into two walks:
+def _col_sum_body(refs, GR: int, GN: int, N: int, th: int, W: int):
+    """BOTH column directions' per-column summaries in ONE top-down walk.
 
-      phase "local": per-column scans from a zero column-top state, emitting
-        y_loc = C·h_loc (+ D·x / merge), plus per-column summaries — the
-        column end-state ``send`` and total log-decay ``stot`` — from which
-        the caller computes the true column entry states s_init with one
-        tiny cross-column scan over W.
-      phase "fix": re-walks the slabs accumulating the inclusive per-column
-        log-decay sum c(h, w) and adds the carried term
-        C·exp(c)·s_init(w) onto y (exact: h = h_loc + cumA·s_init).
+    The flattened col-major sequence carries state across columns (the end
+    of column w feeds the entry of the next column visited), so the exact
+    entry states need each column's end state ``send`` and total log-decay
+    ``stot`` first. One pass over x computes them for both directions:
+
+      - forward (cross2d dir 1, top-down within a column): the plain
+        recurrence h_f = a_f·h_f + b_f carried down the slabs; send_f is the
+        column-bottom state, stot_f = Σ_t w_f(t).
+      - reverse (dir 3, bottom-up within a column): its column-TOP end state
+        is a prefix-product accumulation evaluated in the SAME top-down
+        walk — h_r(top) = Σ_t (∏_{s<t} a_r(s))·b_r(t), i.e.
+        acc += P·b_r(t); P *= a_r(t) per row.
+
+    No y is written — one x read replaces the two full local passes (the
+    old local/fix split wrote and re-read the y stream twice per direction;
+    traced at ~13 ms per L0 VSSBlock round 5).
     """
-    refs = list(refs)
-    (x_ref, wx, wdt, bias, A, D, ebn, ecn) = refs[:8]
-    i = 8
-    sinit_ref = None
-    if phase == "fix":
-        sinit_ref = refs[i]
-        i += 1
-    yin_ref = refs[i] if merge else None
-    i += int(merge)
-    if phase == "local":
-        y_ref, send_ref, stot_ref = refs[i], refs[i + 1], refs[i + 2]
-        i += 3
-        h_ref, s_ref = refs[i], refs[i + 1]
-    else:
-        y_ref = refs[i]
-        c_ref = refs[i + 1]  # running inclusive log-decay sum (GC, N*W)
+    (x_ref, wxf, wdtf, biasf, Af, wxr, wdtr, biasr, Ar, ebn,
+     sendf_ref, stotf_ref, sendr_ref, stotr_ref,
+     hf_ref, swf_ref, pr_ref, accr_ref, swr_ref) = refs
 
     li = pl.program_id(1)
 
     @pl.when(li == 0)
     def _():
-        if phase == "local":
-            h_ref[...] = jnp.zeros_like(h_ref)
-            s_ref[...] = jnp.zeros_like(s_ref)
-        else:
-            c_ref[...] = jnp.zeros_like(c_ref)
+        hf_ref[...] = jnp.zeros_like(hf_ref)
+        swf_ref[...] = jnp.zeros_like(swf_ref)
+        pr_ref[...] = jnp.ones_like(pr_ref)
+        accr_ref[...] = jnp.zeros_like(accr_ref)
+        swr_ref[...] = jnp.zeros_like(swr_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (GC, th*W) — th image rows
+    for d, (wx, wdt, bias, A) in enumerate(
+            ((wxf, wdtf, biasf, Af), (wxr, wdtr, biasr, Ar))):
+        xdbl = jnp.dot(wx[0], x, preferred_element_type=jnp.float32)
+        dtr = jnp.dot(wdt[0], xdbl[:GR], preferred_element_type=jnp.float32)
+        dt = _softplus(dtr + bias[0])
+        du = dt * x
+        rows_B = xdbl[GR : GR + GN]
+        for n in range(N):
+            B_bc = jnp.dot(ebn[n], rows_B, preferred_element_type=jnp.float32)
+            w = jnp.maximum(dt * A[0, :, n : n + 1], W_CLAMP)
+            a = jnp.exp(w)
+            b = du * B_bc
+            nsl = slice(n * W, (n + 1) * W)
+            if d == 0:
+                h = hf_ref[:, nsl]
+                sw = swf_ref[:, nsl]
+                for t in range(th):
+                    sl = slice(t * W, (t + 1) * W)
+                    h = a[:, sl] * h + b[:, sl]
+                    sw = sw + w[:, sl]
+                hf_ref[:, nsl] = h
+                swf_ref[:, nsl] = sw
+                sendf_ref[0, :, nsl] = h
+                stotf_ref[0, :, nsl] = sw
+            else:
+                P = pr_ref[:, nsl]
+                acc = accr_ref[:, nsl]
+                sw = swr_ref[:, nsl]
+                for t in range(th):
+                    sl = slice(t * W, (t + 1) * W)
+                    acc = acc + P * b[:, sl]
+                    P = P * a[:, sl]
+                    sw = sw + w[:, sl]
+                pr_ref[:, nsl] = P
+                accr_ref[:, nsl] = acc
+                swr_ref[:, nsl] = sw
+                sendr_ref[0, :, nsl] = acc
+                stotr_ref[0, :, nsl] = sw
+
+
+def _col_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
+              th: int, W: int, use_d: bool = True):
+    """One column direction's FULL scan over th-row slabs of the row-major
+    stream, given the per-column entry states ``sinit`` (from
+    :func:`_col_sum_body` + the tiny cross-column scan). The per-column
+    recurrence h = a·h + b starts from sinit and costs one FMA pass per
+    image row with all W columns in parallel lanes; y = C·h (+ D·x,
+    + yin merge) is written in the same pass."""
+    refs = list(refs)
+    (x_ref, wx, wdt, bias, A, D, ebn, ecn, sinit_ref) = refs[:9]
+    i = 9
+    yin_ref = refs[i] if merge else None
+    i += int(merge)
+    y_ref = refs[i]
+    h_ref = refs[i + 1]
+
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        h_ref[...] = sinit_ref[0].astype(jnp.float32)
 
     x = x_ref[0].astype(jnp.float32)  # (GC, th*W) — th image rows
     xdbl = jnp.dot(wx[0], x, preferred_element_type=jnp.float32)
     dtr = jnp.dot(wdt[0], xdbl[:GR], preferred_element_type=jnp.float32)
     dt = _softplus(dtr + bias[0])
+    du = dt * x
+    rows_B = xdbl[GR : GR + GN]
     rows_C = xdbl[GR + GN :]
-    if phase == "local":
-        du = dt * x
-        rows_B = xdbl[GR : GR + GN]
     y = jnp.zeros_like(x)
     order = list(range(th - 1, -1, -1) if rev else range(th))
     for n in range(N):
+        B_bc = jnp.dot(ebn[n], rows_B, preferred_element_type=jnp.float32)
         C_bc = jnp.dot(ecn[n], rows_C, preferred_element_type=jnp.float32)
         w = jnp.maximum(dt * A[0, :, n : n + 1], W_CLAMP)
+        a = jnp.exp(w)
+        b = du * B_bc
         nsl = slice(n * W, (n + 1) * W)
         pieces = [None] * th
-        if phase == "local":
-            B_bc = jnp.dot(ebn[n], rows_B, preferred_element_type=jnp.float32)
-            a = jnp.exp(w)
-            b = du * B_bc
-            h = h_ref[:, nsl]
-            s = s_ref[:, nsl]
-            for t in order:
-                sl = slice(t * W, (t + 1) * W)
-                h = a[:, sl] * h + b[:, sl]
-                s = s + w[:, sl]
-                pieces[t] = C_bc[:, sl] * h
-            h_ref[:, nsl] = h
-            s_ref[:, nsl] = s
-            send_ref[0, :, nsl] = h
-            stot_ref[0, :, nsl] = s
-        else:
-            c = c_ref[:, nsl]
-            s_init = sinit_ref[0, :, nsl].astype(jnp.float32)
-            for t in order:
-                sl = slice(t * W, (t + 1) * W)
-                c = c + w[:, sl]
-                pieces[t] = C_bc[:, sl] * jnp.exp(c) * s_init
-            c_ref[:, nsl] = c
+        h = h_ref[:, nsl]
+        for t in order:
+            sl = slice(t * W, (t + 1) * W)
+            h = a[:, sl] * h + b[:, sl]
+            pieces[t] = C_bc[:, sl] * h
+        h_ref[:, nsl] = h
         y = y + jnp.concatenate(pieces, axis=1)
     if use_d:
         y = y + D[0] * x
@@ -272,15 +310,66 @@ def _col_body(refs, GR: int, GN: int, N: int, rev: bool, merge: bool,
     y_ref[0] = y.astype(y_ref.dtype)
 
 
-def _run_col_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N: int, d: int,
-                 rev: bool, H: int, W: int, th: int, phase: str,
-                 sinit=None, yin=None, use_d: bool = True):
-    """One COLUMN-direction pass over the ROW-major stream x (Bg, GC, H*W).
+def _run_col_sum(x, Wx_g, Wdt_g, bias_g, A_g, ebn, N: int, d_f: int,
+                 d_r: int, H: int, W: int, th: int):
+    """Both-direction column-summary pass over the ROW-major stream x
+    (Bg, GC, H*W). One top-down walk; returns
+    (send_f, stot_f, send_r, stot_r), each (Bg, GC, N*W) fp32."""
+    Bg, GC, L = x.shape
+    GP = Wx_g.shape[1]
+    GN = ebn.shape[-1]
+    GR = GP - 2 * GN
+    nH = H // th
+    blk = th * W
 
-    The grid walks th-row slabs top-to-bottom (bottom-up when rev); the
-    per-column state (GC, N*W) carries between slabs in scratch. phase
-    "local" returns (y, send, stot); phase "fix" returns y (requires
-    ``sinit``). If ``yin`` is given, y += yin."""
+    x_spec = pl.BlockSpec((1, GC, blk), lambda b, l: (b, 0, l),
+                          memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, GC, N * W), lambda b, l: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(shape, d):
+        return pl.BlockSpec((1,) + shape, lambda b, l, d=d: (d,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    const = lambda arr: pl.BlockSpec(
+        arr.shape, lambda b, l: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        x_spec,
+        wspec((GP, GC), d_f), wspec((GC, GR), d_f), wspec((GC, 1), d_f),
+        wspec((GC, N), d_f),
+        wspec((GP, GC), d_r), wspec((GC, GR), d_r), wspec((GC, 1), d_r),
+        wspec((GC, N), d_r),
+        const(ebn),
+    ]
+    operands = [x, Wx_g, Wdt_g, bias_g, A_g, Wx_g, Wdt_g, bias_g, A_g, ebn]
+
+    kernel = functools.partial(
+        lambda *refs, GR, GN, N, th, W: _col_sum_body(refs, GR, GN, N, th, W),
+        GR=GR, GN=GN, N=N, th=th, W=W,
+    )
+    sum_shape = jax.ShapeDtypeStruct((Bg, GC, N * W), jnp.float32)
+    with mm_precision(x.dtype):
+        return pl.pallas_call(
+            kernel,
+            grid=(Bg, nH),
+            in_specs=in_specs,
+            out_specs=[col_spec] * 4,
+            out_shape=[sum_shape] * 4,
+            scratch_shapes=[pltpu.VMEM((GC, N * W), jnp.float32)] * 5,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=jax.default_backend() != "tpu",
+        )(*operands)
+
+
+def _run_col_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N: int, d: int,
+                 rev: bool, H: int, W: int, th: int,
+                 sinit=None, yin=None, use_d: bool = True):
+    """One COLUMN-direction full-scan pass over the ROW-major stream x
+    (Bg, GC, H*W). The grid walks th-row slabs top-to-bottom (bottom-up
+    when rev); the per-column state (GC, N*W) carries between slabs in
+    scratch, initialized from ``sinit``. If ``yin`` is given, y += yin."""
     Bg, GC, L = x.shape
     GP = Wx_g.shape[1]
     GN = ebn.shape[-1]
@@ -310,33 +399,17 @@ def _run_col_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N: int, d: int,
         wspec((GP, GC)), wspec((GC, GR)), wspec((GC, 1)),
         wspec((GC, N)), wspec((GC, 1)),
         const(ebn), const(ecn),
+        col_spec,
     ]
-    operands = [x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn]
-    if phase == "fix":
-        in_specs.append(col_spec)
-        operands.append(sinit)
+    operands = [x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, sinit]
     if yin is not None:
         in_specs.append(x_spec)
         operands.append(yin)
 
-    if phase == "local":
-        out_specs = [x_spec, col_spec, col_spec]
-        out_shape = [
-            jax.ShapeDtypeStruct((Bg, GC, L), x.dtype),
-            jax.ShapeDtypeStruct((Bg, GC, N * W), jnp.float32),
-            jax.ShapeDtypeStruct((Bg, GC, N * W), jnp.float32),
-        ]
-        scratch = [pltpu.VMEM((GC, N * W), jnp.float32),
-                   pltpu.VMEM((GC, N * W), jnp.float32)]
-    else:
-        out_specs = x_spec
-        out_shape = jax.ShapeDtypeStruct((Bg, GC, L), x.dtype)
-        scratch = [pltpu.VMEM((GC, N * W), jnp.float32)]
-
     kernel = functools.partial(
-        lambda *refs, GR, GN, N, rev, merge, phase, th, W, use_d: _col_body(
-            refs, GR, GN, N, rev, merge, phase, th, W, use_d),
-        GR=GR, GN=GN, N=N, rev=rev, merge=yin is not None, phase=phase,
+        lambda *refs, GR, GN, N, rev, merge, th, W, use_d: _col_body(
+            refs, GR, GN, N, rev, merge, th, W, use_d),
+        GR=GR, GN=GN, N=N, rev=rev, merge=yin is not None,
         th=th, W=W, use_d=use_d,
     )
     with mm_precision(x.dtype):
@@ -344,9 +417,9 @@ def _run_col_dir(x, Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ecn, N: int, d: int,
             kernel,
             grid=(Bg, nH),
             in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            scratch_shapes=scratch,
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct((Bg, GC, L), x.dtype),
+            scratch_shapes=[pltpu.VMEM((GC, N * W), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=jax.default_backend() != "tpu",
@@ -456,8 +529,8 @@ def ss2d_seq_pair_g(xseq_g, Wx, Wdt, bias, A, D, G: int, pair: str):
     return y[..., :L]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def ss2d_col_pair_g(xrow_g, Wx, Wdt, bias, A, D, G: int, H: int, W: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def ss2d_col_pair_g(xrow_g, Wx, Wdt, bias, A, D, y0, G: int, H: int, W: int):
     """Both COLUMN scan directions (cross2d dirs 1/3), transpose-free.
 
     Consumes the same ROW-major grouped stream as the "row" pair and
@@ -468,6 +541,18 @@ def ss2d_col_pair_g(xrow_g, Wx, Wdt, bias, A, D, G: int, H: int, W: int):
     (bottom-up for dir 3) and each slab costs ONE FMA pass per row with
     all W columns in parallel lanes — per-column scans are independent,
     so no doubling scan is needed either.
+
+    Three kernel passes total (round-5 restructure; the old local/fix
+    split took four and re-read the y stream twice): ONE summary pass
+    computes both directions' per-column end states and log-decays
+    (:func:`_col_sum_body`), two tiny cross-column scans turn them into
+    exact column entry states, then one FULL scan per direction runs the
+    recurrence from those entry states and writes y directly.
+
+    ``y0`` (optional, same (Bg, GC, L) layout) is merged into the first
+    full-scan pass — callers hand the ROW pair's output here so the
+    direction merge costs no separate read downstream (the tail then
+    consumes ONE merged stream instead of two).
 
     Caller must check :func:`col_pair_supported`(H, W) and fall back to
     transpose + ss2d_seq_pair_g(pair="col") otherwise.
@@ -480,31 +565,28 @@ def ss2d_col_pair_g(xrow_g, Wx, Wdt, bias, A, D, G: int, H: int, W: int):
         f"no col-scan row blocking for H={H}, W={W}; callers must check "
         "col_pair_supported() and take the transpose path")
     # both directions scan the SAME x, so the D*x skip terms fold into the
-    # first merging kernel — one full-width pass saved (as in the pair)
-    D2 = D.at[d_r].add(D[d_f])
+    # first full-scan kernel — one full-width pass saved (as in the pair)
+    D2 = D.at[d_f].add(D[d_r])
     Wx_g, Wdt_g, bias_g, A_g, D_g = _expand_weights(Wx, Wdt, bias, A, D2, G)
     ebn = _expand_onehots(G, C, N)
-    args = (Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ebn, N)
-    y, send_f, stot_f = _run_col_dir(
-        xrow_g, *args, d_f, rev=False, H=H, W=W, th=th, phase="local",
-        use_d=False)
-    y, send_r, stot_r = _run_col_dir(
-        xrow_g, *args, d_r, rev=True, H=H, W=W, th=th, phase="local", yin=y)
+    send_f, stot_f, send_r, stot_r = _run_col_sum(
+        xrow_g, Wx_g, Wdt_g, bias_g, A_g, ebn, N, d_f, d_r, H, W, th)
     sinit_f = _col_cross_scan(send_f, stot_f, N, W, rev=False)
     sinit_r = _col_cross_scan(send_r, stot_r, N, W, rev=True)
+    args = (Wx_g, Wdt_g, bias_g, A_g, D_g, ebn, ebn, N)
     y = _run_col_dir(xrow_g, *args, d_f, rev=False, H=H, W=W, th=th,
-                     phase="fix", sinit=sinit_f, yin=y, use_d=False)
+                     sinit=sinit_f, yin=y0)
     return _run_col_dir(xrow_g, *args, d_r, rev=True, H=H, W=W, th=th,
-                        phase="fix", sinit=sinit_r, yin=y, use_d=False)
+                        sinit=sinit_r, yin=y, use_d=False)
 
 
-def _col_vjp_fwd(xrow_g, Wx, Wdt, bias, A, D, G, H, W):
-    y = ss2d_col_pair_g(xrow_g, Wx, Wdt, bias, A, D, G, H, W)
-    return y, (xrow_g, Wx, Wdt, bias, A, D)
+def _col_vjp_fwd(xrow_g, Wx, Wdt, bias, A, D, y0, G, H, W):
+    y = ss2d_col_pair_g(xrow_g, Wx, Wdt, bias, A, D, y0, G, H, W)
+    return y, (xrow_g, Wx, Wdt, bias, A, D, y0 is not None)
 
 
 def _col_vjp_bwd(G, H, W, res, g):
-    xrow_g, Wx, Wdt, bias, A, D = res
+    xrow_g, Wx, Wdt, bias, A, D, has_y0 = res
     d_f, d_r = PAIRS["col"]
     Bg, GC, L = xrow_g.shape
     C = GC // G
@@ -522,7 +604,9 @@ def _col_vjp_bwd(G, H, W, res, g):
     dxT, dWx, dWdt, dbias, dA, dD = vjp(gT)
     dx = jnp.transpose(
         dxT.reshape(Bg * G, C, W, H), (0, 1, 3, 2)).reshape(Bg, GC, L)
-    return dx, dWx, dWdt, dbias, dA, dD
+    # the y0 merge is a plain add: its cotangent is g itself
+    dy0 = g if has_y0 else None
+    return dx, dWx, dWdt, dbias, dA, dD, dy0
 
 
 ss2d_col_pair_g.defvjp(_col_vjp_fwd, _col_vjp_bwd)

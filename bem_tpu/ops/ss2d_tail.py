@@ -38,10 +38,18 @@ _EPS = 1e-5
 _LBLK = 2048
 
 
-def _tail_body(refs, has_bias: bool, bf16_dot: bool, has_res: bool):
+def _tail_body(refs, has_bias: bool, bf16_dot: bool, has_res: bool,
+               merged: bool):
     refs = list(refs)
-    yr_ref, yc_ref, msum, bcast, sc_ref, bi_ref, w_ref = refs[:7]
-    i = 7
+    if merged:
+        yr_ref = refs[0]
+        yc_ref = None
+        i = 1
+    else:
+        yr_ref, yc_ref = refs[:2]
+        i = 2
+    msum, bcast, sc_ref, bi_ref, w_ref = refs[i : i + 5]
+    i += 5
     bo_ref = refs[i] if has_bias else None
     i += int(has_bias)
     res_ref = refs[i] if has_res else None
@@ -54,7 +62,9 @@ def _tail_body(refs, has_bias: bool, bf16_dot: bool, has_res: bool):
     # absolute LN error on the real chip (invisible in interpret mode).
     # These dots are (G,GC)@(GC,L) — tiny; the multi-pass cost is noise.
     hi = jax.lax.Precision.HIGHEST
-    y = yr_ref[0].astype(jnp.float32) + yc_ref[0].astype(jnp.float32)
+    y = yr_ref[0].astype(jnp.float32)
+    if not merged:
+        y = y + yc_ref[0].astype(jnp.float32)
     m = jnp.dot(msum[...], y, preferred_element_type=jnp.float32,
                 precision=hi)                                        # (G, L)
     mf = jnp.dot(bcast[...], m, preferred_element_type=jnp.float32,
@@ -89,11 +99,14 @@ def _tail_body(refs, has_bias: bool, bf16_dot: bool, has_res: bool):
 
 
 def _tail_ref(y_row, y_colT, scale, bias, Wout, bout, G, res=None):
-    """jnp composition (oracle / backward / non-TPU path)."""
+    """jnp composition (oracle / backward / non-TPU path).
+    y_colT=None means y_row already carries the merged directions."""
     Bg, GC, L = y_row.shape
     C = GC // G
-    y = (y_row.astype(jnp.float32) + y_colT.astype(jnp.float32)).reshape(
-        Bg, G, C, L)
+    y = y_row.astype(jnp.float32)
+    if y_colT is not None:
+        y = y + y_colT.astype(jnp.float32)
+    y = y.reshape(Bg, G, C, L)
     m = jnp.mean(y, axis=2, keepdims=True)
     v = jnp.mean(jnp.square(y - m), axis=2, keepdims=True)
     yn = (y - m) * jax.lax.rsqrt(v + _EPS)
@@ -119,6 +132,8 @@ def _tail_ref(y_row, y_colT, scale, bias, Wout, bout, G, res=None):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G: int, res=None):
     """Fused merge + LN + out_proj [+ residual]. y_row/y_colT: (B/G, G*C, L).
+    Pass y_colT=None when y_row already carries the merged directions (the
+    col pair's ``y0`` merge) — the tail then reads ONE stream.
 
     scale/bias: (C,) LayerNorm2d params; Wout: (C, C_out) Dense kernel;
     bout: (C_out,) or None; res: optional (B/G, G*C_out, L) residual
@@ -128,12 +143,14 @@ def ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G: int, res=None):
     C = GC // G
     Cout = Wout.shape[1]
     has_bias = bout is not None
+    merged = y_colT is None
 
     lblk = min(_LBLK, -(-L // 128) * 128)
     Lp = -(-L // lblk) * lblk
     if Lp != L:
         y_row = jnp.pad(y_row, ((0, 0), (0, 0), (0, Lp - L)))
-        y_colT = jnp.pad(y_colT, ((0, 0), (0, 0), (0, Lp - L)))
+        if not merged:
+            y_colT = jnp.pad(y_colT, ((0, 0), (0, 0), (0, Lp - L)))
     nL = Lp // lblk
 
     # LN statistics / broadcast matrices and block-diagonal projection
@@ -157,9 +174,14 @@ def ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G: int, res=None):
     const = lambda arr: pl.BlockSpec(
         arr.shape, lambda b, l: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
-    operands = [y_row, y_colT, msum, bcast, sc, bi, w_bd]
-    in_specs = [y_spec, y_spec, const(msum), const(bcast), const(sc),
-                const(bi), const(w_bd)]
+    if merged:
+        operands = [y_row, msum, bcast, sc, bi, w_bd]
+        in_specs = [y_spec, const(msum), const(bcast), const(sc),
+                    const(bi), const(w_bd)]
+    else:
+        operands = [y_row, y_colT, msum, bcast, sc, bi, w_bd]
+        in_specs = [y_spec, y_spec, const(msum), const(bcast), const(sc),
+                    const(bi), const(w_bd)]
     if has_bias:
         bo = jnp.tile(bout.astype(jnp.float32), G).reshape(G * Cout, 1)
         operands.append(bo)
@@ -176,9 +198,10 @@ def ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G: int, res=None):
     else:
         dot_mode = "f32"
     kernel = functools.partial(
-        lambda *refs, has_bias, bf16_dot, has_res: _tail_body(
-            refs, has_bias, bf16_dot, has_res),
-        has_bias=has_bias, bf16_dot=dot_mode, has_res=res is not None)
+        lambda *refs, has_bias, bf16_dot, has_res, merged: _tail_body(
+            refs, has_bias, bf16_dot, has_res, merged),
+        has_bias=has_bias, bf16_dot=dot_mode, has_res=res is not None,
+        merged=merged)
     with mm_precision(y_row.dtype):
         out = pl.pallas_call(
             kernel,

@@ -38,6 +38,24 @@ def test_network_layouts_match(rng, use_pixelshuffle):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("use_pixelshuffle", [True, False])
+def test_network_stream_cf_matches(rng, use_pixelshuffle):
+    """stream_cf=True (whole SubNetwork stream channel-first, one transpose
+    pair at full res) == the NHWC plumbing on shared params — the round-5
+    serving seam change (PatchMerging/DualUpSample/fusion run CF)."""
+    x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    cfg = dict(type="Network", n_feat=8, num_blocks=[1, 1], d_state=[1, 1],
+               ssm_ratio=1, mlp_ratio=2, use_pixelshuffle=use_pixelshuffle,
+               scan_backend="pallas")
+    net = build_network(dict(cfg, stream_cf=False))
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    y = net.apply(v, x)[-1]
+    net_cf = build_network(dict(cfg, stream_cf=True))
+    y_cf = net_cf.apply(v, x)[-1]
+    np.testing.assert_allclose(np.asarray(y_cf), np.asarray(y),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_network_cf_mask_path(rng):
     x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
     mask = jnp.ones((1, 8, 8))

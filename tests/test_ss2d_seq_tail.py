@@ -71,13 +71,20 @@ def test_col_pair_matches_transposed_oracle(B, C, H, W, R, N, G):
     Wx, Wdt, bias, A, D = make_weights(C, R, N, seed=7)
     x = jnp.asarray(rng.standard_normal((B, C, L)), jnp.float32)
     xg = x.reshape(B // G, G * C, L)
-    y = np.asarray(ss2d_col_pair_g(xg, Wx, Wdt, bias, A, D, G, H, W))
+    y = np.asarray(ss2d_col_pair_g(xg, Wx, Wdt, bias, A, D, None, G, H, W))
     xT = jnp.transpose(x.reshape(B, C, H, W), (0, 1, 3, 2)).reshape(B, C, L)
     yT = _seq_pair_ref(xT, Wx, Wdt, bias, A, D, 1, 3)
     y_ref = jnp.transpose(
         yT.reshape(B, C, W, H), (0, 1, 3, 2)).reshape(B, C, L)
     np.testing.assert_allclose(
         y.reshape(B, C, L), np.asarray(y_ref), rtol=2e-4, atol=2e-4)
+    # y0 merge: the row-pair output rides into the first full-scan pass
+    y0 = jnp.asarray(rng.standard_normal(xg.shape), jnp.float32)
+    ym = np.asarray(ss2d_col_pair_g(xg, Wx, Wdt, bias, A, D, y0, G, H, W))
+    np.testing.assert_allclose(
+        ym.reshape(B, C, L),
+        np.asarray(y_ref) + np.asarray(y0).reshape(B, C, L),
+        rtol=2e-4, atol=2e-4)
 
 
 def test_col_pair_grads_match_oracle():
@@ -91,7 +98,7 @@ def test_col_pair_grads_match_oracle():
 
     def loss_fused(*a):
         return jnp.sum(
-            ss2d_col_pair_g(*a, G, H, W).astype(jnp.float32) ** 2)
+            ss2d_col_pair_g(*a, None, G, H, W).astype(jnp.float32) ** 2)
 
     def loss_ref(xgg, *w):
         x = xgg.reshape(B, C, L)
@@ -128,12 +135,17 @@ def test_seq_pair_grads_match_oracle():
                                    rtol=2e-3, atol=2e-3, err_msg=name)
 
 
-@pytest.mark.parametrize("G,use_bias", [(1, False), (2, False), (2, True)])
-def test_tail_matches_ref(G, use_bias):
+@pytest.mark.parametrize("G,use_bias,merged",
+                         [(1, False, False), (2, False, False),
+                          (2, True, False), (2, False, True)])
+def test_tail_matches_ref(G, use_bias, merged):
     B, C, Cout, L = 4, 24, 24, 96
     rng = np.random.default_rng(5)
     yr = jnp.asarray(rng.standard_normal((B // G, G * C, L)), jnp.bfloat16)
-    yc = jnp.asarray(rng.standard_normal((B // G, G * C, L)), jnp.bfloat16)
+    # merged=True: the col pair already folded the row output into yr and
+    # the tail consumes ONE stream (y_colT=None)
+    yc = None if merged else jnp.asarray(
+        rng.standard_normal((B // G, G * C, L)), jnp.bfloat16)
     sc = jnp.asarray(rng.standard_normal(C) * 0.2 + 1.0, jnp.float32)
     bi = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
     W = jnp.asarray(rng.standard_normal((C, Cout)) * 0.2, jnp.float32)

@@ -91,11 +91,14 @@ def test_col_pair_lowering(tpu_trace):
     bias = jnp.asarray(rng.random((4, C)), jnp.float32)
     A = -jnp.asarray(rng.random((4, C, N)), jnp.float32)
     D = jnp.asarray(rng.random((4, C)), jnp.float32)
-    _lower(lambda *a: ss2d_col_pair_g(*a, G, H, W), x, Wx, Wdt, bias, A, D)
+    _lower(lambda *a: ss2d_col_pair_g(*a, None, G, H, W),
+           x, Wx, Wdt, bias, A, D)
+    # y0-merge form (the serving path: row output rides into the col pair)
+    _lower(lambda *a: ss2d_col_pair_g(*a, G, H, W), x, Wx, Wdt, bias, A, D, x)
 
     xf = jnp.asarray(rng.random((B // G, G * C, H * W)), jnp.float32)
     _lower(jax.grad(lambda *a: jnp.sum(
-        ss2d_col_pair_g(*a, G, H, W).astype(jnp.float32)),
+        ss2d_col_pair_g(*a, None, G, H, W).astype(jnp.float32)),
         argnums=(0, 1, 2, 3, 4, 5)), xf, Wx, Wdt, bias, A, D)
 
 
