@@ -137,8 +137,18 @@ class SubNetwork(nn.Module):
             sigma_init=self.sigma_init,
             scan_backend=self.scan_backend,
             layout=self.layout,
-            block_layout=self.block_layout,
         )
+
+        def blk_layout(dim):
+            # wide levels (dim >= 128) run their VSSBlock sequences NHWC
+            # even when the surrounding stream is channel-first: the CF
+            # gdMlp's W1-folded dwconv FLOPs grow as C^2 and lose to the
+            # XLA NHWC form at C=160 (traced +12 ms/iter round 5; mirrors
+            # BasicBlock's dim<128 auto-CF gate in the NHWC plumbing)
+            if self.block_layout is None and self.layout == "NCHW" \
+                    and dim >= 128:
+                return "NHWC"
+            return self.block_layout
 
         fea = x
         skips = []
@@ -146,7 +156,7 @@ class SubNetwork(nn.Module):
         for i in range(level):
             fea = BasicBlock(
                 dim=curr_dim, num_blocks=self.num_blocks[i], d_state=d_state[i],
-                name=f"enc_{i}", **common,
+                block_layout=blk_layout(curr_dim), name=f"enc_{i}", **common,
             )(fea)
             skips.append(fea)
             if self.use_pixelshuffle:
@@ -159,7 +169,7 @@ class SubNetwork(nn.Module):
 
         fea = BasicBlock(
             dim=curr_dim, num_blocks=self.num_blocks[-1], d_state=d_state[level],
-            name="bottleneck", **common,
+            block_layout=blk_layout(curr_dim), name="bottleneck", **common,
         )(fea)
 
         for i in range(level):
@@ -194,7 +204,9 @@ class SubNetwork(nn.Module):
                 )
             fea = BasicBlock(
                 dim=curr_dim // 2, num_blocks=self.num_blocks[level - 1 - i],
-                d_state=d_state[level - 1 - i], name=f"dec_{i}", **common,
+                d_state=d_state[level - 1 - i],
+                block_layout=blk_layout(curr_dim // 2), name=f"dec_{i}",
+                **common,
             )(fea)
             curr_dim //= 2
 
@@ -241,34 +253,6 @@ class Network(nn.Module):
     def __call__(self, x, mask=None, train: bool = False):
         cf = self.layout == "NCHW"
         outs = [x]
-        if cf:
-            x_in = jnp.transpose(x, (0, 3, 1, 2))
-        else:
-            x_in = x
-        fea = Conv2d(
-            self.n_feat, 3, padding=1, use_bias=True,
-            kernel_init=inits.kaiming_normal(mode="fan_out", nonlinearity="linear"),
-            bias_init=inits.zeros, data_format=self.layout,
-            name="first_conv",
-        )(x_in)
-
-        # MIM masking (UNet_arch.py:402-403,464-467)
-        mask_token = self.param(
-            "mask_token", inits.trunc_normal(std=0.02), (1, 1, 1, self.n_feat)
-        )
-        if mask is not None:
-            if cf:
-                w = mask[:, None].astype(fea.dtype)  # (B, 1, H, W)
-                tok = mask_token.reshape(1, self.n_feat, 1, 1).astype(fea.dtype)
-            else:
-                w = mask[..., None].astype(fea.dtype)  # (B, H, W, 1)
-                tok = mask_token.astype(fea.dtype)
-            fea = fea * (1.0 - w) + tok * w
-
-        proj = Conv2d(self.out_channels, 3, padding=1, use_bias=True,
-                      bias_init=inits.zeros, data_format=self.layout,
-                      name="proj")
-
         stream_cf = self.stream_cf
         if stream_cf is None:
             from ..ops.scan import default_backend
@@ -278,11 +262,46 @@ class Network(nn.Module):
                 and self.mlp_type == "gdmlp"
                 and (self.scan_backend or default_backend()) == "pallas"
                 and os.environ.get("BEM_STREAM_CF", "1") != "0")
+        # io_cf experiment: run first_conv/proj channel-first too, so the
+        # boundary transposes move to the 3/6-channel IO tensors (6/40 of
+        # the feature bytes) and the NHWC convs' 21-42x output lane padding
+        # on 3-channel tensors disappears (traced 8.3 + 4.6 ms round 5)
+        io_cf = (stream_cf and self.layout == "NHWC"
+                 and os.environ.get("BEM_IO_CF", "0") == "1")
+        conv_fmt = "NCHW" if (cf or io_cf) else "NHWC"
         sub_layout = "NCHW" if (stream_cf and self.layout == "NHWC") \
             else self.layout
+        if cf or io_cf:
+            x_in = jnp.transpose(x, (0, 3, 1, 2))
+        else:
+            x_in = x
+        fea = Conv2d(
+            self.n_feat, 3, padding=1, use_bias=True,
+            kernel_init=inits.kaiming_normal(mode="fan_out", nonlinearity="linear"),
+            bias_init=inits.zeros, data_format=conv_fmt,
+            name="first_conv",
+        )(x_in)
+
+        # MIM masking (UNet_arch.py:402-403,464-467)
+        mask_token = self.param(
+            "mask_token", inits.trunc_normal(std=0.02), (1, 1, 1, self.n_feat)
+        )
+        if mask is not None:
+            if conv_fmt == "NCHW":
+                w = mask[:, None].astype(fea.dtype)  # (B, 1, H, W)
+                tok = mask_token.reshape(1, self.n_feat, 1, 1).astype(fea.dtype)
+            else:
+                w = mask[..., None].astype(fea.dtype)  # (B, H, W, 1)
+                tok = mask_token.astype(fea.dtype)
+            fea = fea * (1.0 - w) + tok * w
+
+        proj = Conv2d(self.out_channels, 3, padding=1, use_bias=True,
+                      bias_init=inits.zeros, data_format=conv_fmt,
+                      name="proj")
+
         out = None
         for i in range(self.stage):
-            if sub_layout != self.layout:
+            if sub_layout == "NCHW" and conv_fmt == "NHWC":
                 fea = jnp.transpose(fea, (0, 3, 1, 2))
             fea = SubNetwork(
                 dim=self.n_feat,
@@ -301,10 +320,10 @@ class Network(nn.Module):
                 block_layout=self.block_layout,
                 name=f"subnets_{i}",
             )(fea)
-            if sub_layout != self.layout:
+            if sub_layout == "NCHW" and conv_fmt == "NHWC":
                 fea = jnp.transpose(fea, (0, 2, 3, 1))
             out = proj(fea)
-            if cf:
+            if conv_fmt == "NCHW":
                 out = jnp.transpose(out, (0, 2, 3, 1))
             if self.last_act == "relu":
                 out = jax.nn.relu(out)

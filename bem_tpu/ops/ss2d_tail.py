@@ -56,27 +56,51 @@ def _tail_body(refs, has_bias: bool, bf16_dot: bool, has_res: bool,
     i += int(has_res)
     out_ref = refs[i]
 
-    # LN statistics need FULL f32 operand precision: Mosaic lowers f32 MXU
+    # LN statistics need f32-grade operand precision: Mosaic lowers f32 MXU
     # dots as single-pass bf16 by default, and scan outputs are
     # mean-dominated (|m| >> std), so bf16-truncated stats cost ~0.2
     # absolute LN error on the real chip (invisible in interpret mode).
-    # These dots are (G,GC)@(GC,L) — tiny; the multi-pass cost is noise.
+    # Mosaic supports only DEFAULT (1 bf16 pass) and HIGHEST (6 passes;
+    # Precision.HIGH raises NotImplementedError in the kernel lowering), so
+    # f32-grade stats at DEFAULT cost come from a bf16x2 operand split:
+    # dot(M, hi) + dot(M, lo) with hi = bf16(x), lo = bf16(x - hi) carries
+    # ~16 operand mantissa bits (rel 1.5e-5) in 2 passes — the matrices
+    # themselves are EXACT in bf16 (ones / {0,1}; the 1/C mean scale is
+    # applied on the small (G, L) result in f32). BEM_TAIL_STAT_PREC=
+    # highest restores the 6-pass form for A/B (tools/tail_prec_check.py).
+    import os
+
+    use_highest = os.environ.get("BEM_TAIL_STAT_PREC", "split2") == "highest"
     hi = jax.lax.Precision.HIGHEST
+
+    def dot2(M, t):
+        Mf = M[...].astype(jnp.float32)
+        if use_highest:
+            return jnp.dot(Mf, t, preferred_element_type=jnp.float32,
+                           precision=hi)
+        # operands stay f32 arrays (Mosaic rejects bf16 lhs here: "Bad lhs
+        # type") but are pre-rounded to bf16 VALUES, so DEFAULT's in-pass
+        # bf16 truncation is exact on them
+        th = t.astype(jnp.bfloat16).astype(jnp.float32)
+        tl = (t - th).astype(jnp.bfloat16).astype(jnp.float32)
+        lo = jax.lax.Precision.DEFAULT
+        return (jnp.dot(Mf, th, preferred_element_type=jnp.float32,
+                        precision=lo)
+                + jnp.dot(Mf, tl, preferred_element_type=jnp.float32,
+                          precision=lo))
+
     y = yr_ref[0].astype(jnp.float32)
     if not merged:
         y = y + yc_ref[0].astype(jnp.float32)
-    m = jnp.dot(msum[...], y, preferred_element_type=jnp.float32,
-                precision=hi)                                        # (G, L)
-    mf = jnp.dot(bcast[...], m, preferred_element_type=jnp.float32,
-                 precision=hi)                                       # (GC, L)
+    inv_c = np.float32(1.0) / np.float32(y.shape[0] // msum.shape[0])
+    m = dot2(msum, y) * inv_c                                        # (G, L)
+    mf = dot2(bcast, m)                                              # (GC, L)
     # centered two-pass variance: the E[y^2]-E[y]^2 form cancels
     # catastrophically when the per-pixel mean dominates the spread,
     # costing a further ~1e-2 absolute LN error
     yc = y - mf
-    var = jnp.dot(msum[...], yc * yc, preferred_element_type=jnp.float32,
-                  precision=hi)
-    invf = jnp.dot(bcast[...], jax.lax.rsqrt(var + _EPS),
-                   preferred_element_type=jnp.float32, precision=hi)
+    var = dot2(msum, yc * yc) * inv_c
+    invf = dot2(bcast, jax.lax.rsqrt(var + _EPS))
     yn = yc * invf * sc_ref[...] + bi_ref[...]
     # the unfused path casts LN output to the compute dtype before the
     # out_proj matmul; mirror that (bf16 MXU operands on the bf16 serving
@@ -153,11 +177,14 @@ def ss2d_tail_cf(y_row, y_colT, scale, bias, Wout, bout, G: int, res=None):
             y_colT = jnp.pad(y_colT, ((0, 0), (0, 0), (0, Lp - L)))
     nL = Lp // lblk
 
-    # LN statistics / broadcast matrices and block-diagonal projection
+    # LN statistics / broadcast matrices and block-diagonal projection.
+    # msum holds EXACT 1.0 entries (bf16-representable for the stat dots'
+    # bf16x2 split); the 1/C mean scale is applied in-kernel on the small
+    # (G, L) results in f32.
     msum = np.zeros((G, GC), np.float32)
     bcast = np.zeros((GC, G), np.float32)
     for g in range(G):
-        msum[g, g * C : (g + 1) * C] = 1.0 / C
+        msum[g, g * C : (g + 1) * C] = 1.0
         bcast[g * C : (g + 1) * C, g] = 1.0
     msum = jnp.asarray(msum)
     bcast = jnp.asarray(bcast)

@@ -56,6 +56,23 @@ def test_network_stream_cf_matches(rng, use_pixelshuffle):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_network_io_cf_matches(rng, monkeypatch):
+    """BEM_IO_CF=1: first_conv/proj run channel-first too (boundary
+    transposes on the 3/6-channel IO tensors only) — same params, same
+    output."""
+    x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    cfg = dict(type="Network", n_feat=8, num_blocks=[1, 1], d_state=[1, 1],
+               ssm_ratio=1, mlp_ratio=2, use_pixelshuffle=True,
+               scan_backend="pallas")
+    net = build_network(dict(cfg, stream_cf=False))
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    y = net.apply(v, x)[-1]
+    monkeypatch.setenv("BEM_IO_CF", "1")
+    y_io = build_network(dict(cfg, stream_cf=True)).apply(v, x)[-1]
+    np.testing.assert_allclose(np.asarray(y_io), np.asarray(y),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_network_cf_mask_path(rng):
     x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
     mask = jnp.ones((1, 8, 8))
