@@ -280,7 +280,9 @@ def main(args_list=None):
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(args.seed)
 
+    per_img_s = []  # wall seconds per image; [0] pays the compiles
     for p_idx, inp_path in enumerate(input_paths):
+        t_img = time.perf_counter()
         img = cv2.imread(inp_path, cv2.IMREAD_COLOR)[:, :, ::-1].astype(np.float32) / 255.0
         h, w = img.shape[:2]
         target = None
@@ -417,9 +419,17 @@ def main(args_list=None):
                     (preds[rank][..., ::-1] * 255).round().astype(np.uint8),
                     os.path.join(result_dir, f"{float(scores[rank]):.2f}.png"),
                 )
-        print(f"[{p_idx + 1}/{len(input_paths)}] {name}", flush=True)
+        per_img_s.append(time.perf_counter() - t_img)
+        print(f"[{p_idx + 1}/{len(input_paths)}] {name} "
+              f"({per_img_s[-1]:.3f} s)", flush=True)
 
     print(f"running time: {time.perf_counter() - t0:.4f} sec")
+    if len(per_img_s) > 1:
+        # serving latency of record: the first image pays the jit compiles
+        # (one per input shape); the median over the rest is steady state
+        steady = per_img_s[1:]
+        print(f"steady-state: {float(np.median(steady)):.4f} sec/img "
+              f"(n={len(steady)}, first/compile {per_img_s[0]:.1f} s)")
 
     with open(os.path.join(result_dir, "result.txt"), "w") as f:
         def emit(label, values, fmt="{:.4f}"):

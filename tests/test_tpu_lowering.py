@@ -132,11 +132,15 @@ def test_tail_lowering(tpu_trace):
     _lower(lambda *a: ss2d_tail_cf(*a, G, res), y1, y2, sc, bi, W, None)
 
 
-@pytest.mark.parametrize("C", [40, 80])  # 40 = VPU tap loop, 80 = W1-folded
-def test_gdmlp_and_stem_lowering(tpu_trace, C):
+# (40, 32, 32) = VPU tap loop, (80, 32, 32) = W1-folded, and the two real
+# serving widths where the 3-slice+shift tap form's 127-offset slice is
+# misaligned against the 128-lane tile (ADVICE r4): L0 W=640, L1 W=320.
+@pytest.mark.parametrize("C,H,W", [(40, 32, 32), (80, 32, 32),
+                                   (40, 28, 640), (80, 14, 320)])
+def test_gdmlp_and_stem_lowering(tpu_trace, C, H, W):
     from bem_tpu.ops.gdmlp_fused import gdmlp_fused_cf, stem_fused_cf
 
-    B, H, W = 2, 32, 32
+    B = 2
     h2 = 2 * C * 2
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.random((B, C, H * W)), jnp.bfloat16)

@@ -61,7 +61,8 @@ def make_pairs(in_dir: str, gt_dir: str, n: int = 3, h: int = 400, w: int = 600)
 
 
 def main():
-    make_pairs("/tmp/eval_in", "/tmp/eval_gt")
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    make_pairs("/tmp/eval_in", "/tmp/eval_gt", n=n)
     if not os.path.exists("/tmp/clip_iqa_seeded.npz"):
         subprocess.run(
             [sys.executable, "tools/convert_clip.py", "--seeded", "0",
