@@ -277,6 +277,7 @@ def main(args_list=None):
     psnr_l, ssim_l, lpips_l, niqe_l, uiqm_l, uciqe_l = [], [], [], [], [], []
     mc_psnr, mc_ssim = [], []
     niqe_dev = {}  # per-shape jitted on-device NIQE scorer cache
+    sel_dev = {}  # per-shape jitted on-device crop+score+select cache
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(args.seed)
 
@@ -314,16 +315,66 @@ def main(args_list=None):
             use_gt_mean=args.GT_mean and target is not None,
             stochastic=not args.deterministic,
         )
-        preds = np.clip(np.asarray(preds)[:, :h, :w, :], 0.0, 1.0)  # (K, h, w, 3)
+
+        scores, _idx = None, 0
+        # ---- on-device selection fast path --------------------------------
+        # When the scorer runs on device and nothing downstream needs all K
+        # candidates on the host (no GT_mean re-correction, no candidate
+        # dump, no Monte-Carlo mean), crop+score+argmin stay on the chip and
+        # only the ONE selected image crosses the transport — on the axon
+        # tunnel the K=16 f32 fetch (~45 MB) plus NIQE re-upload dominated
+        # serving latency (4.87 s/img measured; see PLAN.md round 5).
+        fast_select = (
+            args.no_ref in ("niqe", "clip")
+            and not (args.GT_mean and target is not None)
+            and not args.save_candidates and not args.Monte_Carlo
+            and not (args.no_ref == "niqe" and (h < 96 or w < 96))
+            and (args.no_ref != "clip" or getattr(clip_scorer, "_score", None)
+                 is not None)
+        )
+        if fast_select:
+            if sel_dev.get("key") != (args.no_ref, h, w, preds.shape):
+                if args.no_ref == "niqe":
+                    from ..metrics.niqe_jax import niqe_batch_rgb
+
+                    score_fn = niqe_batch_rgb(h, w, round_rgb=False)
+                    better = jnp.argmin
+                else:  # clip (flax on-device scorer)
+                    score_fn = lambda c: clip_scorer._score(  # noqa: E731
+                        clip_scorer._params, c)
+                    better = jnp.argmax
+
+                def _select(pk):
+                    cand = jnp.clip(pk[:, :h, :w, :], 0.0, 1.0)
+                    vals = score_fn(cand)
+                    idx = better(vals)
+                    return cand[idx], vals
+
+                sel_dev["fn"] = jax.jit(_select)
+                sel_dev["key"] = (args.no_ref, h, w, preds.shape)
+            best_dev, vals_dev = sel_dev["fn"](preds)
+            best = np.asarray(best_dev, np.float32)
+            vals = np.asarray(vals_dev).tolist()
+            if args.no_ref == "niqe":
+                _idx = int(np.argmin(vals))
+                niqe_l.append(vals[_idx])
+                scores = [-v for v in vals]
+            else:
+                _idx = int(np.argmax(vals))
+                scores = vals
+            preds = None  # all-K host copy intentionally never materialized
+        else:
+            preds = np.clip(np.asarray(preds)[:, :h, :w, :], 0.0, 1.0)  # (K, h, w, 3)
 
         if args.GT_mean and target is not None:
             mp = preds.mean(axis=(1, 2), keepdims=True)
             mt = target.mean(axis=(0, 1), keepdims=True)[None]
             preds = np.clip(preds * (mt / mp), 0.0, 1.0)
 
-        # ---- scoring + selection -----------------------------------------
-        scores = None
-        if args.no_ref == "clip":
+        # ---- scoring + selection (host path) ------------------------------
+        if fast_select:
+            pass  # best/scores already selected on device above
+        elif args.no_ref == "clip":
             scores = clip_scorer(preds)  # higher better
             _idx = int(np.argmax(scores))
         elif args.no_ref == "niqe":
@@ -383,7 +434,8 @@ def main(args_list=None):
                 scores = combined.tolist()
             else:
                 _idx = 0
-        best = preds[_idx]
+        if not fast_select:
+            best = preds[_idx]
 
         if target is not None:
             psnr_l.append(calculate_psnr(target * 255, best * 255, 0))
@@ -450,6 +502,9 @@ def main(args_list=None):
     return {
         "psnr": float(np.mean(psnr_l)) if psnr_l else None,
         "ssim": float(np.mean(ssim_l)) if ssim_l else None,
+        "niqe": float(np.mean(niqe_l)) if niqe_l else None,
+        "steady_s_per_img": (float(np.median(per_img_s[1:]))
+                             if len(per_img_s) > 1 else None),
     }
 
 

@@ -100,3 +100,38 @@ def test_eval_noref_uiqm_uciqe(eval_env):
     res = _run(eval_env, ["--no_ref", "uiqm_uciqe", "--save_candidates"])
     out = eval_env / "results" / "dataset"
     assert "Best_UIQM" in (out / "result.txt").read_text()
+
+
+def test_eval_noref_niqe_fast_select_matches_host(eval_env, tmp_path):
+    """The on-device crop+score+argmin fast path (no GT_mean / candidate
+    dump / Monte-Carlo) must select the same candidate and NIQE value as
+    the host path (--save_candidates forces the host path)."""
+    import cv2 as _cv2
+
+    rng = np.random.default_rng(3)
+    os.makedirs(tmp_path / "input")
+    for i in range(2):
+        img = (rng.random((128, 128, 3)) * 80).astype(np.uint8)
+        _cv2.imwrite(str(tmp_path / "input" / f"{i}.png"), img)
+
+    def run(extra, out):
+        from bem_tpu.enhancement.eval import main
+
+        return main([
+            "--opt", str(eval_env / "cg.yml"),
+            "--cond_opt", str(eval_env / "ie.yml"),
+            "--weights", str(eval_env / "cg.msgpack"),
+            "--cond_weights", str(eval_env / "ie.msgpack"),
+            "--input_dir", str(tmp_path / "input"),
+            "--result_dir", str(tmp_path / out),
+            "--num_samples", "4", "--parallel_num", "4",
+            "--no_ref", "niqe",
+        ] + extra)
+
+    fast = run([], "fast")
+    host = run(["--save_candidates"], "host")
+    assert fast["niqe"] == pytest.approx(host["niqe"], rel=1e-4)
+    a = _cv2.imread(str(tmp_path / "fast" / "dataset" / "0.png"))
+    b = _cv2.imread(str(tmp_path / "host" / "dataset" / "0.png"))
+    assert a is not None and b is not None
+    np.testing.assert_array_equal(a, b)

@@ -90,12 +90,32 @@ def main():
     t0 = time.perf_counter()
     logs = model.train_step(batch)
     warm = time.perf_counter() - t0
+
+    # strict protocol == the reference's steady-state loop semantics
+    # (log_DecompDualBranch2_4.out, 0.31 s/iter): a FRESH batch is fed
+    # every step and the loss dict is synced every step
+    # (basicsr/models/base_model.py:419 reduce_loss_dict .item()).
+    # The reference's dataloader overlaps its H2D copy with compute
+    # (pin_memory prefetcher; its measured data_time is 0.01 s), so the
+    # equivalent here dispatches the NEXT batch's device_put before
+    # fetching the current loss — upload rides the tunnel while the chip
+    # works. Distinct host batches per iter prevent any buffer reuse.
+    import jax.numpy as jnp
+
+    host_batches = []
+    for i in range(args.iters + 1):
+        host_batches.append({
+            "lq": rng.random((B, P, P, 3), np.float32),
+            "gt": rng.random((B, P, P, 3), np.float32),
+            "gt_down": rng.random((B, P // 4, P // 4, 3), np.float32),
+        })
+    cur = jax.device_put(host_batches[0])
     ts = []
-    for _ in range(args.iters):
+    for i in range(args.iters):
         t0 = time.perf_counter()
-        logs = model.train_step(batch)
-        # force: train_step returns host floats already via logs
-        float(logs["l_pix"])
+        logs = model.train_step(cur)
+        cur = jax.device_put(host_batches[i + 1])  # overlap next upload
+        float(logs["l_pix"])  # per-iter sync, like the reference
         ts.append(time.perf_counter() - t0)
     med = float(np.median(ts))
 
