@@ -340,19 +340,24 @@ def main(args_list=None):
                     score_fn = niqe_batch_rgb(h, w, round_rgb=False)
                     better = jnp.argmin
                 else:  # clip (flax on-device scorer)
-                    score_fn = lambda c: clip_scorer._score(  # noqa: E731
-                        clip_scorer._params, c)
+                    # the 87M-param tower MUST ride as a traced argument —
+                    # closing over it bakes it into the program body and
+                    # blows the remote-compile transport limit (HTTP 413;
+                    # clip_iqa_score_fn docstring)
+                    score_fn = clip_scorer._score
                     better = jnp.argmax
 
-                def _select(pk):
+                def _select(pk, *scorer_args):
                     cand = jnp.clip(pk[:, :h, :w, :], 0.0, 1.0)
-                    vals = score_fn(cand)
+                    vals = score_fn(*scorer_args, cand)
                     idx = better(vals)
                     return cand[idx], vals
 
                 sel_dev["fn"] = jax.jit(_select)
                 sel_dev["key"] = (args.no_ref, h, w, preds.shape)
-            best_dev, vals_dev = sel_dev["fn"](preds)
+            sel_args = (() if args.no_ref == "niqe"
+                        else (clip_scorer._params,))
+            best_dev, vals_dev = sel_dev["fn"](preds, *sel_args)
             best = np.asarray(best_dev, np.float32)
             vals = np.asarray(vals_dev).tolist()
             if args.no_ref == "niqe":
